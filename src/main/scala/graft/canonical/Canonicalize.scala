@@ -1,0 +1,172 @@
+package graft.canonical
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+import graft.schema.Mention
+
+/** Entity canonicalization.
+  *
+  * Two layers:
+  *
+  *  1. [[CorefMerge]] — the reference's in-document coreference merge,
+  *     exact semantics (`/root/reference/iepy/preprocess/stanford_preprocess.py:365-445`),
+  *     a per-document local fold (no shuffle; runs inside `mapGroups`).
+  *
+  *  2. [[Canonicalize.components]] — the cross-document canonicalization of
+  *     the north star: connected components over alias/surface-form
+  *     similarity edges, as iterative DataFrame joins propagating
+  *     `min(component)` to fixpoint. The per-iteration aggregations are
+  *     algebraic (`min`), so Spark's partial aggregation (map-side combine)
+  *     absorbs alias-frequency skew before the shuffle; each iteration is
+  *     checkpointed to keep lineage flat at 10^12-file scale.
+  */
+object Canonicalize {
+
+  /** Normalized surface forms of an alias; two entities sharing any form
+    * are merged (same kind only). Forms: exact, lowercase, and a
+    * case/underscore fold that unifies snake_case / camelCase / kebab-case
+    * identifiers — the code-corpus analog of IEPy's surface-form identity
+    * (`stanford_preprocess.py:285-304`). */
+  def normalForms(alias: String): Seq[String] = {
+    val lower = alias.toLowerCase
+    val folded = lower.replaceAll("[-_\\s]+", "")
+    Seq(alias, lower, folded).distinct
+  }
+
+  /** Connected components over a bipartite (vertex, form) edge list.
+    *
+    * Input: DataFrame [entity_key: String, kind: String, alias: String].
+    * Output: DataFrame [entity_key, canonical] where canonical is the
+    * component representative's entity_key.
+    *
+    * min-propagation over the bipartite graph converges in O(diameter)
+    * rounds; diameter of alias-similarity graphs is tiny (forms chain
+    * through at most a few normalizers). Every round is two shuffles
+    * (groupBy form, groupBy entity), both algebraic-min aggregations.
+    */
+  def components(spark: SparkSession, entities: DataFrame, maxIter: Int = 10): DataFrame = {
+    import spark.implicits._
+    // (entity, form) edges; kind is part of the form key: never merge
+    // across kinds (reference `stanford_preprocess.py:366-374`).
+    // normalForms as pure Catalyst exprs (codegen-friendly, no UDF).
+    val formsCol = array_distinct(array(
+      $"alias", lower($"alias"),
+      regexp_replace(lower($"alias"), "[-_\\s]+", "")))
+    val edges = entities
+      .select($"entity_key", $"kind", explode(formsCol).as("f"))
+      .select($"entity_key", concat_ws(" ", $"kind", $"f").as("form"))
+      .distinct()
+      .persist()
+
+    var comp = entities.select($"entity_key",
+      $"entity_key".as("component")).distinct()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val byForm = edges.join(comp, "entity_key")
+        .groupBy($"form").agg(min($"component").as("fcomp"))
+      val next = edges.join(byForm, "form")
+        .groupBy($"entity_key").agg(min($"fcomp").as("component"))
+        .persist()
+      next.count() // materialize before comparing
+      val changed = next.join(comp.withColumnRenamed("component", "old"),
+        "entity_key")
+        .filter($"component" =!= $"old").limit(1).count()
+      comp.unpersist()
+      comp = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    // canonical representative: prefer gazette-born readable keys when
+    // present — deterministic min over (from_gazette desc, key)
+    val gazRank =
+      if (entities.columns.contains("from_gazette"))
+        when(col("from_gazette"), 0).otherwise(1)
+      else lit(0)
+    val ranked = entities.select($"entity_key", gazRank.as("gaz_rank"))
+      .join(comp, "entity_key")
+    val canon = ranked.groupBy($"component")
+      .agg(min(struct($"gaz_rank", $"entity_key")).as("best"))
+      .select($"component", $"best.entity_key".as("canonical"))
+    comp.join(canon, "component").select($"entity_key", $"canonical")
+  }
+}
+
+/** Reference-faithful in-document coreference merge (P11). */
+object CorefMerge {
+
+  final case class CorefError(msg: String) extends Exception(msg)
+
+  /** One coref chain: (i, j, head) token spans, representative first. */
+  type Chain = Seq[(Int, Int, Int)]
+
+  /** Entity view needed by the merge: key + kind + gazette linkage. */
+  final case class Ent(key: String, kind: String, gazette: Option[String])
+
+  /** Apply one chain to a document's mentions
+    * (`stanford_preprocess.py:377-445`). Returns the updated mention list.
+    *
+    * - no existing occurrence at any head token -> nothing happens
+    * - representants pickable only if non-anaphora; none -> nothing
+    * - mixed kinds or >=2 distinct gazette items -> CorefError
+    * - canonical = first NER-born (non-gazette) pickable entity, else
+    *   first pickable
+    * - missing chain references created as anaphora=True occurrences
+    *   (phrases of >=5 tokens shrink to the head token)
+    * - all occurrences of merged entities re-pointed to canonical
+    */
+  def applyChain(
+      docId: String,
+      tokens: Array[String],
+      mentions: Seq[Mention],
+      entityOf: String => Ent,
+      chain: Chain): Seq[Mention] = {
+    val byToken = mutable.Map.empty[Int, mutable.ArrayBuffer[Mention]]
+    mentions.foreach { m =>
+      (m.offset until m.offset_end).foreach { i =>
+        byToken.getOrElseUpdate(i, mutable.ArrayBuffer.empty) += m
+      }
+    }
+    val entities = mutable.ArrayBuffer.empty[String]
+    val pickable = mutable.ArrayBuffer.empty[String]
+    val missing = mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    chain.sorted.foreach { case (i, j, head) =>
+      byToken.get(head) match {
+        case Some(ms) if ms.nonEmpty =>
+          ms.foreach { m =>
+            entities += m.entity_key
+            if (!m.anaphora) pickable += m.entity_key
+          }
+        case _ => missing += ((i, j, head))
+      }
+    }
+    if (pickable.isEmpty) return mentions
+    val ents = entities.map(entityOf)
+    if (ents.map(_.kind).distinct.size != 1)
+      throw CorefError(s"Cannot merge entities of different kinds")
+    if (ents.flatMap(_.gazette).distinct.size > 1)
+      throw CorefError(s"Cannot merge entities of different gazette items")
+
+    val fromNer = pickable.filter(k => entityOf(k).gazette.isEmpty)
+    val canonical = if (fromNer.nonEmpty) fromNer.head else pickable.head
+    val canonicalEnt = entityOf(canonical)
+
+    val created = missing.map { case (i0, j0, head) =>
+      val (i, j) = if (j0 - i0 >= 5) (head, head + 1) else (i0, j0)
+      Mention(docId, i, j, canonicalEnt.kind,
+        tokens.slice(i, j).mkString(" "), canonical,
+        from_gazette = canonicalEnt.gazette.isDefined, ner_rank = 0,
+        anaphora = true)
+    }.filterNot(c => mentions.exists(m =>
+      m.offset == c.offset && m.offset_end == c.offset_end))
+
+    val merged = entities.toSet - canonical
+    val repointed = mentions.map { m =>
+      if (merged.contains(m.entity_key)) m.copy(entity_key = canonical)
+      else m
+    }
+    repointed ++ created
+  }
+}

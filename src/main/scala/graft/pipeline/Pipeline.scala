@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.candidates.Candidates
+import graft.canonical.Canonicalize
+import graft.preprocess.{NerRunner, LiteralNer, PosTagger, Segmenter, TagRunNer, Tokenizer}
+import graft.rules.{CodeRules, Rules}
+import graft.schema._
+
+/** The end-to-end KG-construction pipeline:
+  * extract -> link -> canonicalize -> materialize (north rule).
+  *
+  * Stage graph (shuffle boundaries marked):
+  *
+  *   raw docs --map--> preprocessed docs + mentions + segments  (narrow)
+  *   segments --flatMap--> candidate evidences                  (narrow)
+  *   evidences --mapPartitions--> rule predictions              (narrow)
+  *   mentions  --> entity table --> CC canonical map            (shuffle: CC)
+  *   predictions x canonical map --> triples                    (shuffle: 2 joins)
+  *   triples --> write partitioned by pred, bucket-sorted by hash(subj)
+  *
+  * Everything per-document is one fused `flatMap` over the raw-doc scan —
+  * no shuffle until canonicalization. The only shuffles in the whole
+  * pipeline are the CC min-aggregations and the final canonical-key joins,
+  * all on key columns with map-side combine. This is what survives 1000
+  * executors x 100 TB: the dominant cost (tokenize/NER/match) is
+  * embarrassingly parallel and scales linearly with input splits.
+  */
+object Pipeline {
+
+  final case class DocBundle(
+      doc: Doc,
+      mentions: Array[Mention],
+      segments: Array[Segment])
+
+  final case class Prediction(
+      evidence_id: String,
+      relation: String,
+      left_key: String,
+      right_key: String,
+      answer: Boolean)
+
+  /** Camel-case identifier NER (the code-corpus analog of model NER): two+
+    * hump tokens are FUNCTION mentions; run-grouping per reference P6. */
+  val camelNer = new TagRunNer(tok =>
+    if (tok.matches("(?:[A-Z][a-z0-9]*){2,}")) "FUNCTION" else "O")
+
+  /** Per-document preprocess: tokenize, sentence-split, POS, lemmas,
+    * gazette + camel NER (no-overlap combine, gazette first), dedupe,
+    * segment. Pure function — runs as one fused map. */
+  def preprocessDoc(raw: RawDoc, gazette: LiteralNer): DocBundle = {
+    val docId = s"${raw.repo}/${raw.path}@${raw.commit}"
+    val tk = Tokenizer(raw.content)
+    val doc = Doc(
+      doc_id = docId, repo = raw.repo, path = raw.path,
+      commit = raw.commit, lang = raw.lang, text = raw.content,
+      content_sha256 = graft.corpus.CorpusGen.sha256(raw.content),
+      tokens = tk.tokens, offsets = tk.spans,
+      lemmas = PosTagger.lemmas(tk.tokens),
+      postags = PosTagger.tag(tk.tokens),
+      sentences = tk.sentences)
+    val gazetteMentions = NerRunner.run(gazette, 0, docId, tk.tokens, tk.sentences)
+    val camelMentions = NerRunner.run(camelNer, 1, docId, tk.tokens, tk.sentences)
+    val combined = NerRunner.dedupe(
+      NerRunner.combineNoOverlap(Seq(gazetteMentions, camelMentions)))
+    val segments = Segmenter.segmentsOf(doc, combined)
+    DocBundle(doc, combined.toArray, segments.toArray)
+  }
+
+  def preprocess(spark: SparkSession, raw: Dataset[RawDoc],
+      gazette: Seq[(String, String)]): Dataset[DocBundle] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(gazette)
+    raw.mapPartitions { it =>
+      val ner = new LiteralNer(bc.value)
+      it.map(preprocessDoc(_, ner))
+    }
+  }
+
+  /** Candidate generation + rule matching, fused per partition: the
+    * compiled rule NFAs are built once per partition (broadcast-equivalent
+    * of the reference's lru-cached compile, `rules_core.py:37-39`). */
+  def predict(spark: SparkSession, bundles: Dataset[DocBundle]): Dataset[Prediction] = {
+    import spark.implicits._
+    val relations = CodeRules.relations
+    bundles.mapPartitions { it =>
+      // compile each relation's NFA once per partition (the distributed
+      // analog of the reference's lru-cached compile, rules_core.py:37-39)
+      val cores = relations.map { case (rel, rules) =>
+        (rel, new Rules.RuleCore(rules, rel.leftKind, rel.rightKind))
+      }
+      it.flatMap { b =>
+        b.segments.iterator.flatMap { seg =>
+          cores.iterator.flatMap { case (rel, core) =>
+            Candidates.evidencesOf(seg, rel).iterator.map { ev =>
+              Prediction(ev.evidence_id, rel.name, ev.left_key, ev.right_key,
+                core.predict(Candidates.tokensToMatch(ev)))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Entity table from mentions: one row per distinct entity key. */
+  def entityTable(spark: SparkSession, bundles: Dataset[DocBundle]): DataFrame = {
+    import spark.implicits._
+    bundles.flatMap(_.mentions)
+      .groupBy($"entity_key")
+      .agg(
+        first($"kind").as("kind"),
+        min($"alias").as("alias"),
+        max($"from_gazette").as("from_gazette"))
+  }
+
+  /** Full run: returns the materialized triples DataFrame
+    * [subj, pred, obj, evidence_id]. */
+  def run(spark: SparkSession, raw: Dataset[RawDoc],
+      gazette: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val bundles = preprocess(spark, raw, gazette).persist()
+    val predictions = predict(spark, bundles)
+    val entities = entityTable(spark, bundles)
+    val canonical = Canonicalize.components(spark, entities)
+      .withColumnRenamed("entity_key", "k").persist()
+    canonical.count()
+    val triples = predictions.toDF().filter($"answer")
+      .join(canonical.withColumnRenamed("canonical", "subj"),
+        $"left_key" === $"k").drop("k")
+      .join(canonical.withColumnRenamed("canonical", "obj"),
+        $"right_key" === $"k").drop("k")
+      .select($"subj", $"relation".as("pred"), $"obj", $"evidence_id")
+    bundles.unpersist()
+    triples
+  }
+
+  /** Materialize triples + per-partition lineage manifest (north rule:
+    * resumable per stage). Bucketing analog in plain parquet: repartition
+    * by hash(subj) so each output file is a subject bucket. */
+  def materialize(spark: SparkSession, triples: DataFrame, outDir: String,
+      buckets: Int = 32): Unit = {
+    import spark.implicits._
+    val t = triples.repartition(buckets, hash($"subj"))
+      .sortWithinPartitions($"subj", $"pred", $"obj")
+    t.write.mode("overwrite").partitionBy("pred").parquet(s"$outDir/triples")
+    val manifest = spark.read.parquet(s"$outDir/triples")
+      .groupBy($"pred", spark_partition_id().as("partition"))
+      .agg(count(lit(1)).as("triples"),
+        approx_count_distinct($"subj").as("distinct_subj"))
+    manifest.coalesce(1).write.mode("overwrite")
+      .json(s"$outDir/_manifest")
+  }
+}

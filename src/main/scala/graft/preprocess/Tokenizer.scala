@@ -1,0 +1,170 @@
+package graft.preprocess
+
+import java.util.regex.Pattern
+import scala.collection.mutable.ArrayBuffer
+
+/** English tokenizer + sentence splitter.
+  *
+  * Token semantics mirror the reference's regex-alternation tokenizer
+  * (`/root/reference/iepy/preprocess/tokenizer.py:90-257`): a single ordered
+  * alternation scanned left-to-right where the FIRST alternative that
+  * matches at a position wins (Python `re` and Java `Pattern` share this
+  * leftmost-alternative semantics). Kept whole: times of day, emails, URIs,
+  * URLs, dates mm/dd/yyyy, contractions, possessive `'s`, compound words
+  * `\w+([_-]\w+)+`, `&`-words, smileys; punctuation splits off.
+  *
+  * Sentence splitting: the reference uses NLTK Punkt
+  * (`tokenizer.py:77-82`); we use a deterministic rule-based splitter with
+  * the same output contract (`tokenizer.py:48-74`): `sentences` is a
+  * strictly increasing token-boundary list starting at 0 and ending at
+  * `tokens.length`; `[0]` for empty text.
+  */
+object Tokenizer {
+
+  final case class Tokenized(
+      tokens: Array[String],
+      spans: Array[Int],
+      sentences: Array[Int])
+
+  // --- regex table (order = precedence) ----------------------------------
+  private val AN1 = "[a-z0-9]"
+  private val AN2 = "[a-z0-9\\._]"
+  private val AN3 = "[a-z0-9-_\\.~!*'();:@&=+$,/?%#\\[\\]]"
+  private val USERNAME = s"($AN1$AN2*)"
+  private val HOSTNAME2 = s"($AN1$AN2*\\.$AN2*)"
+  private val HOSTNAME3 = s"($AN1$AN2*(:[0-9]{1,5})?)"
+  private val HOSTNAME4 = s"(www\\.$AN1$AN2*\\.$AN2*(:[0-9]{1,5})?)"
+  private val SCHEME = "(mailto:|((http|https|ftp|ftps|ssh|git|news)://))"
+
+  private val contractions: Seq[String] = Seq(
+    "ain't", "aren't", "can't", "can't've", "'cause", "could've", "couldn't",
+    "couldn't've", "didn't", "doesn't", "don't", "hadn't", "hadn't've",
+    "hasn't", "haven't", "he'd", "he'd've", "he'll", "he'll've", "he's",
+    "how'd", "how'd'y", "how'll", "how's", "I'd", "I'd've", "I'll",
+    "I'll've", "I'm", "I've", "isn't", "it'd", "it'd've", "it'll",
+    "it'll've", "it's", "let's", "ma'am", "might've", "mightn't",
+    "mightn't've", "must've", "mustn't", "mustn't've", "needn't", "o'clock",
+    "oughtn't", "oughtn't've", "shan't", "shan't've", "she'd", "she'd've",
+    "she'll", "she'll've", "she's", "should've", "shouldn't",
+    "shouldn't've", "so's", "that's", "there'd", "there's", "they'd",
+    "they'll", "they'll've", "they're", "they've", "to've", "wasn't",
+    "we'd", "we'll", "we'll've", "we're", "we've", "weren't", "what'll",
+    "what'll've", "what're", "what's", "what've", "when's", "when've",
+    "where'd", "where's", "where've", "who'll", "who'll've", "who's",
+    "who've", "why's", "will've", "won't", "won't've", "would've",
+    "wouldn't", "wouldn't've", "y'all", "y'all'd've", "y'all're",
+    "y'all've", "you'd", "you'd've", "you'll", "you'll've", "you're",
+    "you've")
+
+  private val smileys: Seq[String] = {
+    val eyes = ":;8xX>=".map(c => Pattern.quote(c.toString))
+    val noses = Seq("", "-", "o")
+    val mouths = Seq("D", "P", "/", "\\}", "\\{", "\\[", "\\]", "\\(",
+      "\\)", "\\|")
+    for (x <- eyes; y <- noses; z <- mouths) yield x + y + z
+  }
+
+  private val alternatives: Seq[String] = Seq(
+    // HEADER
+    "([01]?[0-9]|2[0-4]):[0-5]?[0-9](:[0-5]?[0-9])?", // time of day
+    "''|``", // quotation
+    s"$USERNAME@$HOSTNAME2", // email
+    s"$SCHEME($USERNAME@)?$HOSTNAME3(/$AN3*)?", // URI
+    HOSTNAME4, // typical URL
+    // middle
+    "[01]?[0-9][-/.][0123]?[0-9][-/.][0-9]{2,4}", // date mm/dd/yyyy
+    contractions.mkString("|"),
+    "'s", // possessive
+    "\\w+([_-]\\w+)+", // compounds
+    // FOOTER
+    "\\w+&\\w+", // and-words
+    "\\w+", // normal words
+    smileys.mkString("|"),
+    "[()/\\[\\]\\.,;:\\-\"'`~?]|\\.\\.\\.", // punctuation
+    "\\S+" // anything else
+  )
+
+  private val tokenRe: Pattern = Pattern.compile(
+    alternatives.map(a => s"($a)").mkString("|"),
+    Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CHARACTER_CLASS |
+      Pattern.DOTALL | Pattern.MULTILINE)
+
+  // --- sentence splitting ------------------------------------------------
+  private val abbreviations = Set(
+    "mr", "mrs", "ms", "dr", "prof", "st", "jr", "sr", "vs", "etc", "inc",
+    "ltd", "co", "corp", "no", "vol", "fig", "e.g", "i.e", "al", "cf",
+    "approx", "dept", "est", "min", "max")
+
+  /** Sentence char-spans (i, j), trimmed, never empty. */
+  def sentenceSpans(text: String): Seq[(Int, Int)] = {
+    val out = ArrayBuffer.empty[(Int, Int)]
+    val n = text.length
+    var start = 0
+    var i = 0
+    def emit(endExcl: Int): Unit = {
+      var a = start
+      var b = endExcl
+      while (a < b && text(a).isWhitespace) a += 1
+      while (b > a && text(b - 1).isWhitespace) b -= 1
+      if (b > a) out += ((a, b))
+      start = endExcl
+    }
+    while (i < n) {
+      val c = text(i)
+      if (c == '!' || c == '?') {
+        var j = i + 1
+        while (j < n && (text(j) == '!' || text(j) == '?')) j += 1
+        emit(j); i = j
+      } else if (c == '.') {
+        var j = i + 1
+        while (j < n && text(j) == '.') j += 1
+        // word immediately before the period run
+        var w = i - 1
+        while (w >= 0 && !text(w).isWhitespace) w -= 1
+        val prev = text.substring(w + 1, i).toLowerCase
+        val isAbbrev = abbreviations.contains(prev) ||
+          (prev.length == 1 && prev.head.isLetter)
+        // boundary only if followed by whitespace then an upper/digit/quote
+        var k = j
+        while (k < n && text(k) == ' ') k += 1
+        val looksBoundary = j >= n || text(j).isWhitespace &&
+          (k >= n || text(k).isUpper || text(k).isDigit ||
+            "\"'`([{".contains(text(k)) || text(k) == '\n')
+        if (!isAbbrev && looksBoundary) { emit(j); i = j } else i = j
+      } else if (c == '\n' && i + 1 < n && {
+        var j = i + 1
+        while (j < n && (text(j) == ' ' || text(j) == '\t')) j += 1
+        j < n && text(j) == '\n'
+      }) {
+        emit(i); i += 1
+      } else i += 1
+    }
+    if (start < n) emit(n)
+    out.toSeq
+  }
+
+  /** Tokenize one sentence string; returns (localStart, token) pairs. */
+  def tokenizeSentence(sentence: String): Seq[(Int, String)] = {
+    val m = tokenRe.matcher(sentence)
+    val out = ArrayBuffer.empty[(Int, String)]
+    while (m.find()) out += ((m.start, sentence.substring(m.start, m.end)))
+    out.toSeq
+  }
+
+  /** Full contract of the reference's `en_tokenize_and_segment`
+    * (`tokenizer.py:48-74`). */
+  def apply(text: String): Tokenized = {
+    val tokens = ArrayBuffer.empty[String]
+    val spans = ArrayBuffer.empty[Int]
+    val sentences = ArrayBuffer(0)
+    for ((si, sj) <- sentenceSpans(text)) {
+      val sent = text.substring(si, sj)
+      val toks = tokenizeSentence(sent)
+      if (toks.nonEmpty) {
+        toks.foreach { case (off, tok) => spans += si + off; tokens += tok }
+        sentences += tokens.length
+      }
+    }
+    Tokenized(tokens.toArray, spans.toArray, sentences.toArray)
+  }
+}

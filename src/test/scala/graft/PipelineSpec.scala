@@ -1,0 +1,68 @@
+package graft
+
+import graft.canonical.Canonicalize
+import graft.corpus.CorpusGen
+import graft.output.Metrics
+import graft.pipeline.Pipeline
+
+/** End-to-end golden-triple gate: the full pipeline on the deterministic
+  * synthetic corpus must reach P/R >= 0.95 vs the by-construction golden
+  * set (BASELINE.md hard gate; conventions `iepy/utils.py:62-89`). */
+class PipelineSpec extends SparkSpec {
+
+  test("corpus generation is deterministic and carries sha256") {
+    val a = CorpusGen.genOne(0.001, 42L, 7L)
+    val b = CorpusGen.genOne(0.001, 42L, 7L)
+    assert(a.content == b.content)
+    assert(a.content_sha256 == CorpusGen.sha256(a.content))
+    assert(a.facts.sameElements(b.facts))
+  }
+
+  test("connected components merge camelCase alias with snake gazette entity") {
+    import spark.implicits._
+    val entities = Seq(
+      ("parse_header_1", "FUNCTION", "parse_header_1", true),
+      ("d1 FUNCTION 3 4", "FUNCTION", "ParseHeader1", false),
+      ("emit_event_2", "FUNCTION", "emit_event_2", true))
+      .toDF("entity_key", "kind", "alias", "from_gazette")
+    val comp = Canonicalize.components(spark, entities).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp("d1 FUNCTION 3 4") == "parse_header_1")
+    assert(comp("parse_header_1") == "parse_header_1")
+    assert(comp("emit_event_2") == "emit_event_2")
+  }
+
+  test("components never merge across kinds") {
+    import spark.implicits._
+    val entities = Seq(
+      ("x_1", "FUNCTION", "x_1", true),
+      ("x_1#m", "MODULE", "x_1", true))
+      .toDF("entity_key", "kind", "alias", "from_gazette")
+    val comp = Canonicalize.components(spark, entities).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp("x_1") != comp("x_1#m"))
+  }
+
+  test("end-to-end P/R >= 0.95 on the synthetic corpus (gate)") {
+    val sf = 0.0005 // ~100 docs; fast but non-trivial
+    val raw = CorpusGen.rawDocs(spark, sf)
+    val triples = Pipeline.run(spark, raw, CorpusGen.gazette(sf))
+    val golden = CorpusGen.goldenTriples(spark, sf)
+    val prf = Metrics.evaluate(triples, golden)
+    info(s"precision=${prf.precision} recall=${prf.recall} " +
+      s"predicted=${prf.predicted} gold=${prf.gold}")
+    assert(prf.precision >= 0.95, s"precision ${prf.precision}")
+    assert(prf.recall >= 0.95, s"recall ${prf.recall}")
+  }
+
+  test("pipeline is idempotent: second run emits the identical triple set") {
+    val sf = 0.0003
+    val raw = CorpusGen.rawDocs(spark, sf)
+    val gaz = CorpusGen.gazette(sf)
+    val t1 = Pipeline.run(spark, raw, gaz).select("subj", "pred", "obj")
+      .distinct().collect().map(_.toString).sorted
+    val t2 = Pipeline.run(spark, raw, gaz).select("subj", "pred", "obj")
+      .distinct().collect().map(_.toString).sorted
+    assert(t1.sameElements(t2))
+  }
+}

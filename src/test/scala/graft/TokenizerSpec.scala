@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.preprocess.Tokenizer
+
+/** Golden cases replayed from `/root/reference/tests/test_tokenizer.py`. */
+class TokenizerSpec extends AnyFunSuite {
+
+  private def tokens(text: String): Seq[String] =
+    Tokenizer(text).tokens.toSeq
+
+  private def assertContains(text: String, expected: Seq[String]): Unit = {
+    val ts = tokens(text)
+    expected.foreach(w => assert(ts.contains(w), s"'$w' not in $ts"))
+  }
+
+  test("point between words is captured") {
+    assertContains("The dog is hungry.The cat is evil.",
+      Seq("dog", "hungry", "evil", "."))
+  }
+  test("hours are not splitted") {
+    assertContains("It's 3:39 am, what do you want?", Seq("3:39"))
+  }
+  test("contraction It's is not splitted") {
+    assertContains("It's 3:39 am, what do you want?", Seq("It's"))
+  }
+  test("question mark is splitted") {
+    assertContains("It's 3:39 am, what do you want?", Seq("want", "?"))
+  }
+  test("web address is not splitted") {
+    assertContains("Visit http://google.com", Seq("http://google.com"))
+  }
+  test("complex address is not splitted") {
+    assertContains("Try with ssh://tom@hawk:2020 and tell me",
+      Seq("ssh://tom@hawk:2020"))
+  }
+  test("contractions are not splitted") {
+    assertContains("I'm ready for you all. Aren't you ready?. Don't you?",
+      Seq("I'm", "Aren't", "Don't"))
+  }
+  test("hyphen dates are not splitted") {
+    assertContains("Back to 10-23-1984 but not to 23/10/1984",
+      Seq("10-23-1984"))
+  }
+  test("slashed dates are splitted") {
+    assertContains("Back to 23/10/1984", Seq("10", "23", "1984"))
+  }
+  test("hyphened words are not splitted") {
+    assertContains("User-friendliness is a must, use get_text.",
+      Seq("User-friendliness"))
+  }
+  test("underscore words are not splitted") {
+    assertContains("User-friendliness is a must, use get_text.",
+      Seq("get_text"))
+  }
+  test("colon is splitted") {
+    assertContains("read what I have to say:I like turtles.",
+      Seq("say", ":", "I"))
+  }
+  test("possessive apostrophe is splitted") {
+    assertContains("John's bar is cool.", Seq("John", "'s", "cool"))
+  }
+  test("emoticons detection") {
+    assertContains("John's bar is cool, right :) XD?", Seq(":)", "XD", "?"))
+  }
+  test("parenthesis are splitted") {
+    assertContains("The wolf (starved to death), killed a duck.",
+      Seq("(", "starved", "death", ")", ","))
+  }
+
+  test("one offset per token; offsets exact") {
+    val text = "John's bar is cool, right :) XD? " +
+      "The wolf (starved to death), killed a duck."
+    val tk = Tokenizer(text)
+    assert(tk.tokens.length == tk.spans.length)
+    tk.tokens.zip(tk.spans).foreach { case (t, off) =>
+      assert(text.substring(off, off + t.length) == t)
+    }
+  }
+
+  test("sentences start at 0 and end at token count") {
+    val tk = Tokenizer("The wolf killed a duck. What a pitty")
+    assert(tk.sentences.head == 0)
+    assert(tk.sentences.last == tk.tokens.length)
+    assert(tk.sentences.length == 3) // two sentences
+  }
+
+  test("empty text gives sentences [0]") {
+    val tk = Tokenizer("")
+    assert(tk.sentences.toSeq == Seq(0))
+    assert(tk.tokens.isEmpty)
+  }
+
+  test("sentence boundaries strictly increasing") {
+    val tk = Tokenizer(
+      "Function parse_header_1 calls function emit_event_2 .\n" +
+        "Function emit_event_2 is defined in module auth_core_0 .\n")
+    assert(tk.sentences.toSeq == tk.sentences.toSeq.distinct.sorted)
+    assert(tk.sentences.length == 3)
+  }
+}
