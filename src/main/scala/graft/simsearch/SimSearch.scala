@@ -1,0 +1,93 @@
+package graft.simsearch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * - [[cosineTopK]]: brute-force cosine top-k per query — the exactness
+  *   baseline. All arithmetic in double with left-to-right accumulation
+  *   (`aggregate` over zip_with), so results are bit-deterministic and
+  *   reproducible cross-engine.
+  * - [[lshBuckets]] / [[lshTopK]]: random-hyperplane LSH — the scale
+  *   path. Bucket key = sign bits against `nPlanes` fixed pseudo-random
+  *   hyperplanes (seeded, generated arithmetically so executors need no
+  *   broadcast). Candidates meet in one shuffle on the bucket key; exact
+  *   cosine re-ranks within buckets. At 100 TB this turns O(n^2) into
+  *   O(n * bucket_size).
+  */
+object SimSearch {
+
+  /** Sequential-order double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Top-k neighbors for each query row against the corpus (brute force).
+    * Both inputs: [id: long, embedding: array<float>]. Deterministic
+    * tie-break on (cos desc, corpus id asc). */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"),
+      col("embedding").as("qe"))
+    val c = corpus.select(col("id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val scored = q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed arithmetic hash mapped to [-1, 1]. Pure Catalyst exprs. */
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    val h = pmod(
+      (dim * lit(2654435761L) + lit(plane.toLong * 40503L + 2166136261L)),
+      lit(1000003L))
+    (h.cast("double") / lit(500001.5)) - lit(1.0)
+  }
+
+  /** Sign-bit LSH bucket id over `nPlanes` hyperplanes. */
+  def bucketKey(embedding: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(embedding,
+          sequence(lit(0), size(embedding) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i.cast("long"))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  def lshBuckets(corpus: DataFrame, nPlanes: Int = 8): DataFrame =
+    corpus.select(col("id"), col("embedding"),
+      bucketKey(col("embedding"), nPlanes).as("bucket"))
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket,
+    * re-ranked by exact cosine. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int = 8): DataFrame = {
+    val q = lshBuckets(queries, nPlanes)
+      .select(col("id").as("query_id"), col("embedding").as("qe"),
+        col("bucket"))
+    val c = lshBuckets(corpus, nPlanes)
+      .select(col("id").as("neighbor_id"), col("embedding").as("ce"),
+        col("bucket"))
+    val scored = q.join(c, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data-pipeline text operators over a `documents`
+  * table (doc_id, text, ...). All pure Catalyst expressions — codegen'd,
+  * shuffle only where an aggregation/join is semantically required, and
+  * every aggregate is algebraic (min/sum/count) so map-side combine
+  * handles skew.
+  *
+  * Deduplication design notes (100 TB scale):
+  *  - exact dedup: hash-groupBy on a text digest — one shuffle of
+  *    (digest, doc_id) pairs only, never the text itself.
+  *  - MinHash: per-doc signature computed map-side from the token set
+  *    (k independent hash slots via salted digests), then LSH banding:
+  *    docs sharing a band key meet in one shuffle; candidate pairs are
+  *    verified with exact Jaccard. Band keys are tiny strings, so the
+  *    shuffle is O(docs * bands), not O(docs^2).
+  */
+object TextOps {
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  /** Exact duplicate groups: digest -> surviving doc + duplicate count.
+    * md5 keeps the oracle cross-engine (same hex in DuckDB). */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).cast("long").as("keep_id"),
+        count(lit(1)).as("dups"))
+
+  /** Whitespace token count + char stats (quality-scoring inputs). */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** Quality scoring: length ratios, stopword ratio, distinct-token
+    * ratio. Stopword list is tiny and inlined (broadcast-free: literal
+    * array in the plan). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    documents.select(
+      col("doc_id").cast("long").as("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      size(filter(toks, t => array_contains(stopArr, t)))
+        .cast("long").as("n_stopwords"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      round(size(array_distinct(toks)).cast("double") /
+        nTok.cast("double"), 4).as("distinct_ratio"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+        nTok.cast("double"), 4).as("avg_token_len"))
+  }
+
+  /** Language ID by stopword-profile voting: score per language = count
+    * of that language's marker words; argmax with deterministic
+    * (score desc, lang asc) tie-break. N-gram-free heuristic that is
+    * exactly expressible in SQL for the oracle. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "and", "is", "of", "to", "not", "a"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "he2", "you3"))
+
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = langMarkers.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(
+        size(filter(toks, t => array_contains(arr, t))).cast("long").as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax with deterministic tie-break: order (score, lang) DESC,
+    // take the head -> ties go to the lexicographically largest lang
+    // (the oracle SQL uses the same ORDER BY score DESC, lang DESC)
+    val arr = sort_array(array(scored: _*), asc = false)
+    documents.select(
+      col("doc_id").cast("long").as("doc_id"),
+      arr.getItem(0).getField("lang").as("pred_lang"),
+      arr.getItem(0).getField("score").as("score"))
+  }
+
+  /** MinHash signature: k slots, slot i = min over the doc's distinct
+    * tokens of md5(i || ":" || token). Cross-engine deterministic (string
+    * min over hex digests). One narrow pass + one agg shuffle. */
+  def minhash(documents: DataFrame, k: Int = 4): DataFrame = {
+    val exploded = documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("t"))
+    val slots = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("t")))).as(s"mh_$i"))
+    exploded.groupBy(col("doc_id")).agg(slots.head, slots.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any minhash band (here: any single
+    * slot — bands of width 1 for k small). Returns ordered (a, b) pairs
+    * deduped across bands. */
+  def lshCandidatePairs(documents: DataFrame, k: Int = 4): DataFrame = {
+    val mh = minhash(documents, k).persist()
+    val pairs = (0 until k).map { i =>
+      val l = mh.select(col("doc_id").as("a"), col(s"mh_$i").as("band"))
+      val r = mh.select(col("doc_id").as("b"), col(s"mh_$i").as("band"))
+      l.join(r, "band").where(col("a") < col("b")).select(col("a"), col("b"))
+    }
+    pairs.reduce(_ unionByName _).distinct()
+  }
+
+  /** Exact token-set Jaccard for candidate pairs (verification stage of
+    * near-dup detection). */
+  def jaccardOfPairs(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val docTok = documents.select(col("doc_id").cast("long").as("doc_id"),
+      array_distinct(tokens(col("text"))).as("toks"))
+    pairs
+      .join(docTok.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("toks", "ta"), "a")
+      .join(docTok.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("toks", "tb"), "b")
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double"), 4)
+          .as("jaccard"))
+  }
+
+  /** SimHash-64 over tokens: per bit, sign of sum over tokens of
+    * (bit(xxhash64(token)) ? +1 : -1). Spark-native (xxhash64 has no
+    * DuckDB twin -> rows-only oracle). */
+  def simhash(documents: DataFrame): DataFrame = {
+    val exploded = documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val agg = exploded.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Token-level rolling-hash document fingerprint (winnowing-lite):
+    * min of xxhash64 over every w-token shingle. */
+  def fingerprint(documents: DataFrame, w: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val shingles = transform(
+      sequence(lit(0), greatest(n - w, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(w))))
+    documents.select(col("doc_id").cast("long").as("doc_id"),
+      array_min(transform(shingles, s => xxhash64(s))).as("fingerprint"))
+  }
+}
