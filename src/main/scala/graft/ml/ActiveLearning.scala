@@ -1,0 +1,149 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Active-learning core (C3-C9): IEPy's interactive certainty-sampling
+  * loop recast as iterative BATCH scoring over checkpointed candidate
+  * Datasets (north star; reference
+  * `/root/reference/iepy/extraction/active_learning_core.py`).
+  *
+  * Differences from the reference are representational only:
+  *  - labeled/unlabeled evidence are DataFrames keyed by `evidence_id`
+  *  - each round is a batch job; answers arrive as a DataFrame union
+  *  - the classifier is [[RelationClassifier]] (Spark ML)
+  *  - per-round state (labels, threshold) round-trips through parquet
+  *    checkpoints so the loop resumes mid-round (S7 equivalence)
+  */
+object ActiveLearning {
+
+  val HighPrecisionTradeoff: (Double, Double) = (10.0, 1.0) // HIPREC
+  val HighRecallTradeoff: (Double, Double) = (1.0, 2.0) // HIREC
+
+  final case class State(
+      model: Option[RelationClassifier.Model],
+      threshold: Option[Double],
+      aimedTradeoff: Option[(Double, Double)])
+
+  /** One `process()` round (reference `:119-139`): estimate threshold
+    * (when a tradeoff is given), train, rank a bounded random sample,
+    * sort questions by |margin| ascending.
+    *
+    * @param labeled   evidence DF with boolean `label`
+    * @param unlabeled candidate evidence DF
+    * @return (state, questions DF ordered most-valuable-first)
+    */
+  def process(
+      spark: SparkSession,
+      labeled: DataFrame,
+      unlabeled: DataFrame,
+      tradeoff: Option[(Double, Double)] = None,
+      classifier: String = "svc",
+      seed: Long = 42L): (State, DataFrame) = {
+    val classes =
+      labeled.select(countDistinct(col("label"))).head.getLong(0)
+    if (classes < 2)
+      return (State(None, None, None), unlabeled.limit(0))
+
+    val threshold = tradeoff.flatMap { t =>
+      estimateThreshold(spark, labeled, t, classifier, seed)
+    }
+    val model = RelationClassifier.fit(labeled, classifier)
+
+    // rank a random sample of min(10*|labeled|, |unlabeled|)  (:215-227)
+    val nLabeled = labeled.count()
+    val nUnlabeled = unlabeled.count()
+    val n = math.min(10 * nLabeled, nUnlabeled).toInt
+    val sample = unlabeled.orderBy(rand(seed)).limit(n)
+    val questions = model.transform(sample)
+      .withColumn("uncertainty", abs(col("margin")))
+      .orderBy(col("uncertainty").asc, col("evidence_id").asc)
+    (State(Some(model), threshold, None), questions)
+  }
+
+  /** C8 predict: known labels pass through verbatim; the rest get
+    * `margin >= threshold` (or the classifier's sign when no threshold)
+    * (reference `:141-163`). */
+  def predict(
+      state: State,
+      candidates: DataFrame,
+      labeled: DataFrame): DataFrame = {
+    val model = state.model.getOrElse(
+      throw new IllegalStateException("No trained classifier"))
+    val knowns = labeled.select(col("evidence_id"),
+      col("label").as("known_label"))
+    val scored = model.transform(candidates)
+    val decided = state.threshold match {
+      case Some(t) => col("margin") >= t
+      case None => col("prediction")
+    }
+    scored.join(knowns, Seq("evidence_id"), "left")
+      .withColumn("label", coalesce(col("known_label"), decided))
+      .drop("known_label")
+  }
+
+  /** C7/C10 threshold estimation: stratified 5-fold CV -> pooled
+    * (score, y) -> PR curve -> maximize c_p*prec + c_rec*rec with the
+    * prec[last] = 0 guard (reference `:165-179,235-262`). Needs >= 5
+    * examples per class else None. */
+  def estimateThreshold(
+      spark: SparkSession,
+      labeled: DataFrame,
+      tradeoff: (Double, Double),
+      classifier: String = "svc",
+      seed: Long = 42L): Option[Double] = {
+    val perClass = labeled.groupBy(col("label")).count()
+      .collect().map(r => r.getLong(1))
+    if (perClass.length < 2 || perClass.min < 5) return None
+
+    // stratified folds: row_number per class (deterministic order) mod 5
+    val w = Window.partitionBy(col("label")).orderBy(col("evidence_id"))
+    val folded = labeled
+      .withColumn("fold", (row_number().over(w) - 1) % 5)
+      .persist()
+    folded.count()
+    val pooled: Seq[(Double, Int)] = (0 until 5).flatMap { k =>
+      val train = folded.filter(col("fold") =!= k)
+      val test = folded.filter(col("fold") === k)
+      val m = RelationClassifier.fit(train, classifier)
+      m.transform(test).select(col("margin"), col("label").cast("int"))
+        .collect().map(r => (r.getDouble(0), r.getInt(1))).toSeq
+    }
+    folded.unpersist()
+    prCurveThreshold(pooled, tradeoff)
+  }
+
+  /** sklearn-convention PR curve over pooled (score, y):
+    * thresholds are the distinct scores descending; at threshold t,
+    * predicted-positive = score >= t. Returns the threshold maximizing
+    * c_p * precision + c_rec * recall (prec of the phony last point
+    * forced to 0). Driver-side: the pooled set is human-labeled data,
+    * bounded by annotation budget, never corpus-sized. */
+  def prCurveThreshold(
+      pooled: Seq[(Double, Int)],
+      tradeoff: (Double, Double)): Option[Double] = {
+    if (pooled.isEmpty) return None
+    val sorted = pooled.sortBy(-_._1)
+    val totalPos = sorted.count(_._2 == 1)
+    if (totalPos == 0) return None
+    // walk score-descending; emit one PR point per distinct score
+    case class Pt(prec: Double, rec: Double, thres: Double)
+    val pts = scala.collection.mutable.ArrayBuffer.empty[Pt]
+    var tp = 0; var fp = 0; var i = 0
+    while (i < sorted.length) {
+      val s = sorted(i)._1
+      while (i < sorted.length && sorted(i)._1 == s) {
+        if (sorted(i)._2 == 1) tp += 1 else fp += 1
+        i += 1
+      }
+      pts += Pt(tp.toDouble / (tp + fp), tp.toDouble / totalPos, s)
+    }
+    // sklearn appends a phony (prec=1, rec=0) last point with no
+    // threshold; the reference zeroes its precision so it's never chosen
+    // -> equivalent here to just maximizing over real points
+    val (cp, cr) = tradeoff
+    val best = pts.maxBy(p => cp * p.prec + cr * p.rec)
+    Some(best.thres)
+  }
+}

@@ -114,26 +114,85 @@ object Pipeline {
         max($"from_gazette").as("from_gazette"))
   }
 
-  /** Full run: returns the materialized triples DataFrame
-    * [subj, pred, obj, evidence_id]. */
-  def run(spark: SparkSession, raw: Dataset[RawDoc],
-      gazette: Seq[(String, String)]): DataFrame = {
+  /** One doc's extraction output — only what downstream stages need.
+    * Token arrays and segments stay inside the fused map and are never
+    * cached or shuffled (at 100 TB the doc text never leaves the scan
+    * stage). */
+  final case class DocExtract(
+      predictions: Array[Prediction],
+      entities: Array[EntityRow])
+
+  final case class EntityRow(
+      entity_key: String, kind: String, alias: String,
+      from_gazette: Boolean)
+
+  /** Fused extract: preprocess + candidates + rule match in ONE narrow
+    * pass over the raw docs. */
+  def extract(spark: SparkSession, raw: Dataset[RawDoc],
+      gazette: Seq[(String, String)]): Dataset[DocExtract] = {
     import spark.implicits._
-    val bundles = preprocess(spark, raw, gazette).persist()
-    val predictions = predict(spark, bundles)
-    val entities = entityTable(spark, bundles)
+    val bc = spark.sparkContext.broadcast(gazette)
+    val relations = CodeRules.relations
+    raw.mapPartitions { it =>
+      val ner = new LiteralNer(bc.value)
+      val cores = relations.map { case (rel, rules) =>
+        (rel, new Rules.RuleCore(rules, rel.leftKind, rel.rightKind))
+      }
+      it.map { rawDoc =>
+        val b = preprocessDoc(rawDoc, ner)
+        val preds = b.segments.iterator.flatMap { seg =>
+          cores.iterator.flatMap { case (rel, core) =>
+            Candidates.evidencesOf(seg, rel).iterator.map { ev =>
+              Prediction(ev.evidence_id, rel.name, ev.left_key,
+                ev.right_key, core.predict(Candidates.tokensToMatch(ev)))
+            }
+          }
+        }.toArray
+        val ents = b.mentions.map(m =>
+          EntityRow(m.entity_key, m.kind, m.alias, m.from_gazette))
+        DocExtract(preds, ents)
+      }
+    }
+  }
+
+  /** Full run: returns the triples DataFrame [subj, pred, obj,
+    * evidence_id] and a cleanup handle releasing the intermediate caches
+    * (call it after the final action on the triples). */
+  def runWithCleanup(spark: SparkSession, raw: Dataset[RawDoc],
+      gazette: Seq[(String, String)]): (DataFrame, () => Unit) = {
+    import spark.implicits._
+    // ONE narrow pass over raw docs; only ids/keys/answers are cached —
+    // token arrays never leave the extract stage (cache-write of fat doc
+    // bundles was the measured non-scaling cost at SF=0.1)
+    val extracted = extract(spark, raw, gazette).persist()
+    val predictions = extracted.flatMap(_.predictions)
+    // entities feed CC three ways (edges, initial components, canonical
+    // ranking) — persist to shuffle the mention table once, not thrice
+    val entities = extracted.flatMap(_.entities)
+      .groupBy($"entity_key")
+      .agg(first($"kind").as("kind"), min($"alias").as("alias"),
+        max($"from_gazette").as("from_gazette"))
+      .persist()
     val canonical = Canonicalize.components(spark, entities)
       .withColumnRenamed("entity_key", "k").persist()
-    canonical.count()
+    // Everything above is lazy — the caller's first action runs ONE job:
+    // preprocess (cached), CC chain, and the two canonical-key joins
+    // (AQE broadcasts the canonical map when it is dimension-sized;
+    // at true scale it degrades gracefully to a shuffle join on `k`).
     val triples = predictions.toDF().filter($"answer")
       .join(canonical.withColumnRenamed("canonical", "subj"),
         $"left_key" === $"k").drop("k")
       .join(canonical.withColumnRenamed("canonical", "obj"),
         $"right_key" === $"k").drop("k")
       .select($"subj", $"relation".as("pred"), $"obj", $"evidence_id")
-    bundles.unpersist()
-    triples
+    (triples, () => { extracted.unpersist(); entities.unpersist();
+      canonical.unpersist() })
   }
+
+  /** Full run (convenience; caches stay alive with the session). */
+  def run(spark: SparkSession, raw: Dataset[RawDoc],
+      gazette: Seq[(String, String)]): DataFrame =
+    runWithCleanup(spark, raw, gazette)._1
 
   /** Materialize triples + per-partition lineage manifest (north rule:
     * resumable per stage). Bucketing analog in plain parquet: repartition

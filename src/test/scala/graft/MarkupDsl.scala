@@ -57,7 +57,7 @@ object MarkupDsl {
     val l = left.map(mentions.apply)
     val r = right.map(mentions.apply)
     Evidence(
-      evidence_id = "ev",
+      evidence_id = s"ev-${markup.hashCode.toHexString}",
       segment_id = "seg",
       doc_id = "doc",
       left_eo = l.map(_.eo_id).getOrElse(""),
