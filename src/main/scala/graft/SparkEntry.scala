@@ -137,6 +137,15 @@ object SparkEntry {
       TextOps.jaccardOfPairs(docs, TextOps.lshCandidatePairs(docs))
     }),
     "d8_simhash" -> ((s, d) => TextOps.simhash(t(s, d, "documents"))),
+    "d10_bpe_tokens" -> ((s, d) => {
+      // BPE-ish regex pre-tokenization count: letter runs / digit runs /
+      // single non-alnum marks (same RE2-safe pattern as the oracle)
+      val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+      t(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+    }),
     "d9_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     // --- similarity search: embeddings ---------------------------------
     "e1_cosine_topk" -> ((s, d) => {
@@ -245,6 +254,10 @@ object SparkEntry {
         |    / len(string_split(text, ' ')), 4) AS distinct_ratio,
         |  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |    / len(string_split(text, ' ')), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "d10_bpe_tokens" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
     "d4_lang_id" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -118,7 +118,11 @@ object CorpusGen {
   /** Distributed generation; identical content for any partition count. */
   def generate(spark: SparkSession, sf: Double, seed: Long = 42L): Dataset[GenDoc] = {
     import spark.implicits._
-    spark.range(numDocs(sf)).map(i => genOne(sf, seed, i))
+    // 4x cores input splits: smooths stragglers (doc sizes vary 2x) the
+    // same way small parquet splits do on a real scan; content is
+    // seeded per-index so the partitioning never affects the data
+    val parts = spark.sparkContext.defaultParallelism * 4
+    spark.range(0, numDocs(sf), 1, parts).map(i => genOne(sf, seed, i))
   }
 
   def rawDocs(spark: SparkSession, sf: Double, seed: Long = 42L): Dataset[RawDoc] = {
