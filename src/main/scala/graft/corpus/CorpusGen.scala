@@ -57,9 +57,18 @@ object CorpusGen {
     s"${a(i % a.length)}_${b((i / a.length) % b.length)}_$i"
   }
 
-  def sha256(s: String): String =
-    MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private val hexChars = "0123456789abcdef".toCharArray
+  def sha256(s: String): String = {
+    val d = MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** Generate one document deterministically from (seed, index). */
   def genOne(sf: Double, seed: Long, idx: Long): GenDoc = {

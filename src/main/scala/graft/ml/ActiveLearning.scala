@@ -103,13 +103,21 @@ object ActiveLearning {
       .withColumn("fold", (row_number().over(w) - 1) % 5)
       .persist()
     folded.count()
-    val pooled: Seq[(Double, Int)] = (0 until 5).flatMap { k =>
-      val train = folded.filter(col("fold") =!= k)
-      val test = folded.filter(col("fold") === k)
-      val m = RelationClassifier.fit(train, classifier)
-      m.transform(test).select(col("margin"), col("label").cast("int"))
-        .collect().map(r => (r.getDouble(0), r.getInt(1))).toSeq
-    }
+    // folds evaluated concurrently — Spark happily runs independent
+    // actions from multiple threads, and each fold's fit is tiny
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val pooled: Seq[(Double, Int)] = Await.result(
+      Future.sequence((0 until 5).map { k =>
+        Future {
+          val train = folded.filter(col("fold") =!= k)
+          val test = folded.filter(col("fold") === k)
+          val m = RelationClassifier.fit(train, classifier)
+          m.transform(test).select(col("margin"), col("label").cast("int"))
+            .collect().map(r => (r.getDouble(0), r.getInt(1))).toSeq
+        }
+      }), Duration.Inf).flatten
     folded.unpersist()
     prCurveThreshold(pooled, tradeoff)
   }

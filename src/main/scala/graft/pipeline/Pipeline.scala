@@ -43,8 +43,23 @@ object Pipeline {
 
   /** Camel-case identifier NER (the code-corpus analog of model NER): two+
     * hump tokens are FUNCTION mentions; run-grouping per reference P6. */
+  private val camelRe = java.util.regex.Pattern.compile("(?:[A-Z][a-z0-9]*){2,}")
   val camelNer = new TagRunNer(tok =>
-    if (tok.matches("(?:[A-Z][a-z0-9]*){2,}")) "FUNCTION" else "O")
+    if (camelRe.matcher(tok).matches()) "FUNCTION" else "O")
+
+  /** Gazette tries are built once per executor JVM, not per partition —
+    * at SF=1.0 the gazette is 60k literals and a per-partition build
+    * inverted scaling (more partitions = more trie builds). Keyed by
+    * broadcast id so different gazettes coexist. */
+  private val nerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LiteralNer]()
+  def cachedNer(
+      bc: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]]): LiteralNer = {
+    // broadcast ids restart at 0 for every SparkContext — key by appId
+    // too, or a fresh session silently reuses a stale trie
+    val key = org.apache.spark.SparkEnv.get.conf.getAppId + ":" + bc.id
+    nerCache.computeIfAbsent(key, _ => new LiteralNer(bc.value))
+  }
 
   /** Per-document preprocess: tokenize, sentence-split, POS, lemmas,
     * gazette + camel NER (no-overlap combine, gazette first), dedupe,
@@ -73,7 +88,7 @@ object Pipeline {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(gazette)
     raw.mapPartitions { it =>
-      val ner = new LiteralNer(bc.value)
+      val ner = cachedNer(bc)
       it.map(preprocessDoc(_, ner))
     }
   }
@@ -134,7 +149,7 @@ object Pipeline {
     val bc = spark.sparkContext.broadcast(gazette)
     val relations = CodeRules.relations
     raw.mapPartitions { it =>
-      val ner = new LiteralNer(bc.value)
+      val ner = cachedNer(bc)
       val cores = relations.map { case (rel, rules) =>
         (rel, new Rules.RuleCore(rules, rel.leftKind, rel.rightKind))
       }

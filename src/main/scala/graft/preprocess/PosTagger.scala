@@ -52,12 +52,15 @@ object PosTagger {
       case _ if pronouns.contains(lower) => "PRP"
       case _ if modals.contains(lower) => "MD"
       case _ if beVerbs.contains(lower) => beVerbs(lower)
-      case _ if lower.endsWith("ed") && knownVerbBases.exists(b =>
-        lower == b + "d" || lower == b + "ed") => "VBD"
-      case _ if lower.endsWith("ing") && knownVerbBases.exists(b =>
-        lower == b + "ing" || (b.length > 1 && lower == b.dropRight(1) + "ing")) => "VBG"
-      case _ if lower.endsWith("s") && knownVerbBases.exists(b =>
-        lower == b + "s" || lower == b + "es") => "VBZ"
+      case _ if lower.endsWith("ed") &&
+        (knownVerbBases.contains(lower.dropRight(1)) ||
+          knownVerbBases.contains(lower.dropRight(2))) => "VBD"
+      case _ if lower.endsWith("ing") &&
+        (knownVerbBases.contains(lower.dropRight(3)) ||
+          knownVerbBases.contains(lower.dropRight(3) + "e")) => "VBG"
+      case _ if lower.endsWith("s") &&
+        (knownVerbBases.contains(lower.dropRight(1)) ||
+          knownVerbBases.contains(lower.dropRight(2))) => "VBZ"
       case _ if knownVerbBases.contains(lower) => "VB"
       case _ if tok.nonEmpty && tok.head.isUpper => "NNP"
       case _ if lower.endsWith("s") => "NNS"

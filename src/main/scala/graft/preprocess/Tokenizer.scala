@@ -85,7 +85,7 @@ object Tokenizer {
   )
 
   private val tokenRe: Pattern = Pattern.compile(
-    alternatives.map(a => s"($a)").mkString("|"),
+    alternatives.map(a => s"(?:$a)").mkString("|"),
     Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CHARACTER_CLASS |
       Pattern.DOTALL | Pattern.MULTILINE)
 

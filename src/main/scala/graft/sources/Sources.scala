@@ -56,6 +56,15 @@ object Sources {
     }
   }
 
+  /** S3 normalizer: lowercase every word unless it is an acronym
+    * (reference `iepy/preprocess/ner/literal.py:109-119`; the Freebase
+    * download itself is an external service and out of scope). */
+  def toLowerNormalizer(name: String): String =
+    name.split(" ").map { w =>
+      if (w.nonEmpty && w == w.toUpperCase && w.exists(_.isLetter)) w
+      else w.toLowerCase
+    }.mkString(" ")
+
   /** S5: predictions CSV sink — `(candidate evidence id, bool)` with
     * header; refuses overwrite (reference `iepy/data/output.py:8-24`). */
   def predictionsCsv(predictions: DataFrame, path: String): Unit =
