@@ -19,7 +19,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimSearch {
 
-  /** Sequential-order double dot product of two float-array columns. */
+  /** Sequential-order double dot product of two float-array columns
+    * (composed-builtins form, kept as the reference implementation). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
       x.cast("double") * y.cast("double")),
@@ -27,7 +28,14 @@ object SimSearch {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Hot-path cosine: the custom codegen'd Catalyst expression — one
+    * fused loop, no intermediate array, bit-identical values to
+    * [[cosineComposed]] (same left-to-right double accumulation). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine(a, b)
 
   /** Top-k neighbors for each query row against the corpus (brute force).
     * Both inputs: [id: long, embedding: array<float>]. Deterministic
