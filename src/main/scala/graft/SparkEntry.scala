@@ -158,6 +158,13 @@ object SparkEntry {
         .select(col("vec_id").cast("long").as("id"), col("embedding"))
       SimSearch.lshTopK(e.where(col("id") < 20), e, 5)
     }),
+    "e3_embedding_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("id"), col("embedding"))
+      SimSearch.cosineNearDupPairs(e, 0.9)
+    }),
+    "d11_simhash_neardup" -> ((s, d) =>
+      TextOps.simhashNearDupPairs(t(s, d, "documents"), maxHamming = 6)),
     // --- KG pipeline (rows-only; gated by sbt-test golden fixtures) ----
     "kg_triples" -> ((s, _) => {
       val sf = 0.0002
@@ -333,6 +340,16 @@ object SparkEntry {
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank FROM s)
         |WHERE rank <= 5""".stripMargin,
+    "e3_embedding_neardup" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+        |             CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a, b, cos FROM (
+        |  SELECT a.id AS a, b.id AS b,
+        |    ROUND(list_dot_product(a.emb, b.emb)
+        |      / (sqrt(list_dot_product(a.emb, a.emb))
+        |       * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+        |  FROM e a, e b WHERE a.id < b.id)
+        |WHERE cos >= 0.9""".stripMargin,
     "kg_gazette_mentions" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(i AS BIGINT) AS pos, t AS mention

@@ -79,6 +79,34 @@ object SimSearch {
     corpus.select(col("id"), col("embedding"),
       bucketKey(col("embedding"), nPlanes).as("bucket"))
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    * cosine >= threshold. Exact (cross-join) form — the correctness
+    * baseline the LSH-bucketed variant is measured against; at corpus
+    * scale use [[lshNearDupPairs]]. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("id").as("a"), col("embedding").as("ea"))
+    val b = corpus.select(col("id").as("b"), col("embedding").as("eb"))
+    a.crossJoin(b).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("ea"), col("eb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Scale path: near-dup pairs restricted to shared LSH buckets (may
+    * miss cross-bucket pairs — recall/cost tradeoff, tune nPlanes). */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double,
+      nPlanes: Int = 8): DataFrame = {
+    val bkt = lshBuckets(corpus, nPlanes)
+    val a = bkt.select(col("id").as("a"), col("embedding").as("ea"),
+      col("bucket"))
+    val b = bkt.select(col("id").as("b"), col("embedding").as("eb"),
+      col("bucket"))
+    a.join(b, "bucket").where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("ea"), col("eb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * re-ranked by exact cosine. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,

@@ -148,6 +148,26 @@ object TextOps {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: candidates share a 16-bit band of the
+    * 64-bit signature (4 bands -> one shuffle per band on tiny keys),
+    * verified by Hamming distance via bit_count(xor) — all built-ins,
+    * no O(n^2) stage. */
+  def simhashNearDupPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sig = simhash(documents).persist()
+    val bands = (0 until 4).map { i =>
+      val band = shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)
+      val l = sig.select(col("doc_id").as("a"), col("simhash").as("sa"),
+        band.as("band"))
+      val r = sig.select(col("doc_id").as("b"), col("simhash").as("sb"),
+        band.as("band"))
+      l.join(r, "band").where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+    }
+    bands.reduce(_ unionByName _).distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Token-level rolling-hash document fingerprint (winnowing-lite):
     * min of xxhash64 over every w-token shingle. */
   def fingerprint(documents: DataFrame, w: Int = 3): DataFrame = {
