@@ -34,7 +34,8 @@ object Bench {
   /** Each measurement runs in its OWN child JVM (fresh heap, fresh
     * SparkContext): sequential in-JVM sessions contaminate each other
     * through GC state — measured swings of 2x on identical configs. */
-  private def pipelineRun(cores: Int, sf: Double, runs: Int = 1): (Long, Double) = {
+  private def pipelineRun(cores: Int, sf: Double, runs: Int = 1,
+      timedRuns: Int = 3): (Long, Double) = {
     val jdk17AddOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -50,13 +51,18 @@ object Bench {
     var best = Double.MaxValue
     var n = 0L
     (0 until runs).foreach { _ =>
-      val cmd = (Seq(javaBin, s"-Xmx$mem", "-Dspark.ui.enabled=false",
+      // ParallelGC measured ~12% faster than G1 on this pipeline at
+      // both 2 and 8 cores (string-allocation heavy, throughput-bound)
+      val cmd = (Seq(javaBin, s"-Xmx$mem", "-XX:+UseParallelGC",
+        "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC") ++ jdk17AddOpens ++
         Seq("-cp", cp, "graft.RunPipeline", sf.toString, cores.toString,
           "--bench")).toArray
-      val p = new ProcessBuilder(cmd: _*)
+      val pb = new ProcessBuilder(cmd: _*)
         .redirectError(ProcessBuilder.Redirect.DISCARD) // Spark stderr
-        .start()                                        // would fill the pipe
+                                                        // would fill the pipe
+      pb.environment().put("GRAFT_TIMED_RUNS", timedRuns.toString)
+      val p = pb.start()
       val out = scala.io.Source.fromInputStream(p.getInputStream)
         .getLines().toList
       p.waitFor()
@@ -70,6 +76,46 @@ object Bench {
     }
     require(n > 0, s"bench child run produced no result (cores=$cores sf=$sf)")
     (n, best)
+  }
+
+  /** Spawn graft.BenchScaling in a child JVM; returns (secN, sec4N, eff). */
+  private def scalingChild(n: Int, sf: Double): (Double, Double, Double) = {
+    val jdk17AddOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
+    val cmd = (Seq(javaBin, s"-Xmx$mem", "-XX:+UseParallelGC",
+      "-Dspark.ui.enabled=false") ++ jdk17AddOpens ++
+      Seq("-cp", cp, "graft.BenchScaling", sf.toString, n.toString)).toArray
+    val p = new ProcessBuilder(cmd: _*)
+      .redirectError(ProcessBuilder.Redirect.DISCARD).start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream)
+      .getLines().toList
+    p.waitFor()
+    val json = out.find(_.startsWith("{")).getOrElse(
+      throw new IllegalStateException("scaling child produced no result"))
+    def field(name: String): Double =
+      ("\"" + name + "\":([0-9.]+)").r.findFirstMatchIn(json)
+        .map(_.group(1).toDouble).getOrElse(-1.0)
+    (field("sec_n"), field("sec_4n"), field("scaling_efficiency"))
+  }
+
+  /** Deterministic triple count for an SF (counted once, cheap). */
+  private def scalingTriples(sf: Double): Long = {
+    val spark = session("32")
+    try {
+      val (t, cl) = Pipeline.runWithCleanup(spark,
+        CorpusGen.rawDocs(spark, sf), CorpusGen.gazette(sf))
+      val n = t.count(); cl(); n
+    } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
@@ -98,14 +144,17 @@ object Bench {
     // so per-core compute dominates local-mode fixed overhead (~4 s),
     // which a real 100 TB cluster amortizes away entirely.
     val scalingSf = sys.env.get("SPARK_GRAFT_SCALING_SF")
-      .map(_.toDouble).getOrElse(0.25)
+      .map(_.toDouble).getOrElse(0.5)
     val nCores = sys.env.get("SPARK_GRAFT_SCALE_N").map(_.toInt).getOrElse(2)
     val (nT, sT) = pipelineRun(32, pipelineSf)
-    val (n8, s8) = pipelineRun(nCores, scalingSf)
-    val (n32, s32) = pipelineRun(nCores * 4, scalingSf)
+    // N and 4N measured inside ONE child JVM in symmetric order
+    // (N, 4N, 4N, N) via BenchScaling: the VM's effective-clock drift
+    // contributes equally to both sides of the ratio and cancels.
+    val (s8, s32, eff) = scalingChild(nCores, scalingSf)
+    val n32 = scalingTriples(scalingSf)
+    val n8 = n32
     val tput8 = n8 / s8
     val tput32 = n32 / s32
-    val eff = (tput32 / tput8) / 4.0
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -130,15 +179,18 @@ object Bench {
          |
          |## Scaling N -> 4N (identical input, SF=$scalingSf%.2f)
          |
-         |Pair = local[$nCores] vs local[${nCores * 4}], each in its own
-         |child JVM with an in-JVM warm-up run before timing. Why this
-         |pair: a raw-CPU probe (multiprocess sha256, no shared state)
-         |shows the sandbox VM itself caps 8->32-worker scaling at ~0.61
-         |efficiency (hypervisor overcommit / clock scaling), while 2->8
-         |scales at ~0.90 — so 2 vs 8 is the honest N-vs-4N measurement
-         |inside the hardware's linear region. SF sized so per-core
-         |compute dominates the ~4 s local-mode fixed overhead that a
-         |real 100 TB cluster run amortizes to zero.
+         |Pair = local[$nCores] vs local[${nCores * 4}], measured inside
+         |one child JVM in symmetric order (N, 4N, 4N, N) so the sandbox
+         |VM's effective-clock drift cancels out of the ratio
+         |(`graft.BenchScaling`). Why this pair: a raw-CPU probe
+         |(multiprocess sha256, no shared state) shows the VM itself caps
+         |8->32-worker scaling at ~0.6 efficiency (hypervisor overcommit /
+         |clock scaling), while 2->8 scales at ~0.90-0.96 — so 2 vs 8 is
+         |the honest N-vs-4N measurement inside the hardware's linear
+         |region. SF sized so per-core compute dominates the ~5 s
+         |local-mode fixed overhead (driver-side stage scheduling + cache
+         |materialization in ONE shared JVM) that a real multi-executor
+         |100 TB run amortizes to zero.
          |
          || config | triples | seconds | triples/sec |
          ||---|---|---|---|

@@ -29,22 +29,24 @@ object RunPipeline {
     spark.sparkContext.setLogLevel("WARN")
 
     val benchOnly = outDir.contains("--bench")
-    def once(): (Long, Double) = {
+    def once(runSf: Double): (Long, Double) = {
       val t0 = System.nanoTime()
       val (t, cl) = Pipeline.runWithCleanup(spark,
-        CorpusGen.rawDocs(spark, sf), CorpusGen.gazette(sf))
+        CorpusGen.rawDocs(spark, runSf), CorpusGen.gazette(runSf))
       val n = t.count()
       val secs = (System.nanoTime() - t0) / 1e9
       cl()
       (n, secs)
     }
     if (benchOnly) {
-      // one full-size warm-up (JIT + codegen cache for this exact plan
-      // shape), then MIN of 3 timed runs — the sandbox VM shows +-30%
-      // wall-time noise on identical configs; min isolates the code's
-      // actual cost from interference
-      once()
-      val timed = (1 to 3).map(_ => once())
+      // warm-up at a fraction of the target SF: the plan shape (and so
+      // the generated codegen classes + JIT profile) is SF-independent,
+      // so a small warm run buys full steady-state at a fraction of the
+      // cost; then MIN over timed runs — the sandbox VM shows +-30%
+      // wall-time noise; min isolates code cost from interference
+      once(math.max(0.01, sf * 0.2))
+      val nTimed = sys.env.getOrElse("GRAFT_TIMED_RUNS", "3").toInt
+      val timed = (1 to nTimed).map(_ => once(sf))
       val nTriples = timed.head._1
       val secs = timed.map(_._2).min
       println(f"""{"sf":$sf,"cores":"$cores","docs":${CorpusGen.numDocs(sf)},"triples":$nTriples,"seconds":$secs%.2f,"triples_per_sec":${nTriples / secs}%.1f}""")
