@@ -182,6 +182,33 @@ object SparkEntry {
           col("col").as("mention"))
     }))
 
+  /** DuckDB CTEs mirroring [[TextOps.lshCandidatePairs]] 1:1 — 16 minhash
+    * slots, 4 bands x 4 rows, band key = md5 of the band's slots joined
+    * with '|' (same construction as Spark's md5(concat_ws("|", ...))). */
+  private def lshPairsCtes: String = {
+    val (bands, rows) = (4, 4)
+    val slots = (0 until bands * rows)
+      .map(i => s"    MIN(md5('$i:' || t)) AS mh_$i").mkString(",\n")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"mh_${b * rows + r}")
+        .mkString(" || '|' || ")
+      s"  SELECT doc_id, $b AS band_idx, md5($key) AS bkey FROM mh"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH mh AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |$slots
+       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |        FROM documents)
+       |  GROUP BY 1),
+       |bands AS (
+       |$bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.bkey = y.bkey
+       |   AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -290,38 +317,10 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
     "d6_lsh_pairs" ->
-      """WITH mh AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |    MIN(md5('0:' || t)) AS mh_0, MIN(md5('1:' || t)) AS mh_1,
-        |    MIN(md5('2:' || t)) AS mh_2, MIN(md5('3:' || t)) AS mh_3
-        |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
-        |        FROM documents)
-        |  GROUP BY 1)
-        |SELECT DISTINCT a, b FROM (
-        |  SELECT x.doc_id AS a, y.doc_id AS b FROM mh x JOIN mh y ON x.mh_0 = y.mh_0 AND x.doc_id < y.doc_id
-        |  UNION ALL
-        |  SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.mh_1 = y.mh_1 AND x.doc_id < y.doc_id
-        |  UNION ALL
-        |  SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.mh_2 = y.mh_2 AND x.doc_id < y.doc_id
-        |  UNION ALL
-        |  SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.mh_3 = y.mh_3 AND x.doc_id < y.doc_id)""".stripMargin,
+      s"""$lshPairsCtes
+        |SELECT a, b FROM pairs""".stripMargin,
     "d7_jaccard_verify" ->
-      """WITH mh AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |    MIN(md5('0:' || t)) AS mh_0, MIN(md5('1:' || t)) AS mh_1,
-        |    MIN(md5('2:' || t)) AS mh_2, MIN(md5('3:' || t)) AS mh_3
-        |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
-        |        FROM documents)
-        |  GROUP BY 1),
-        |pairs AS (
-        |  SELECT DISTINCT a, b FROM (
-        |    SELECT x.doc_id AS a, y.doc_id AS b FROM mh x JOIN mh y ON x.mh_0 = y.mh_0 AND x.doc_id < y.doc_id
-        |    UNION ALL
-        |    SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.mh_1 = y.mh_1 AND x.doc_id < y.doc_id
-        |    UNION ALL
-        |    SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.mh_2 = y.mh_2 AND x.doc_id < y.doc_id
-        |    UNION ALL
-        |    SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.mh_3 = y.mh_3 AND x.doc_id < y.doc_id)),
+      s"""$lshPairsCtes,
         |dt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |         list_distinct(string_split(text, ' ')) AS toks FROM documents)
         |SELECT p.a, p.b,
