@@ -82,9 +82,9 @@ object FeatureConfig {
       relation: Relation): DataFrame = {
     import spark.implicits._
     evidence.mapPartitions { it =>
-      val m = new Rules.Matcher(rule.build(
+      val m = new Rules.Matcher(Rules.prefixed(rule.build(
         Rules.subjectPat(relation.leftKind),
-        Rules.objectPat(relation.rightKind)))
+        Rules.objectPat(relation.rightKind))))
       it.map(ev =>
         (ev.evidence_id,
           if (m.matches(Candidates.tokensToMatch(ev))) 1 else 0))

@@ -51,9 +51,14 @@ object ActiveLoop {
         .limit(answersPerRound * 4)
         .write.mode("overwrite").parquet(qPath)
 
-      // fold the "annotator's" answers into the labels checkpoint
+      // fold the "annotator's" answers into the labels checkpoint;
+      // parquet read-back carries NO row order — re-sort by uncertainty
+      // (deterministic evidence_id tiebreak) so the annotator sees the
+      // top-N most uncertain questions, not an arbitrary file-order subset
       val answers = answerOracle(
-        spark.read.parquet(qPath).limit(answersPerRound))
+        spark.read.parquet(qPath)
+          .orderBy(col("uncertainty").asc, col("evidence_id").asc)
+          .limit(answersPerRound))
       val updated = spark.read.parquet(labelsPath)
         .unionByName(answers.select(col("evidence_id"), col("label")))
         .dropDuplicates("evidence_id")

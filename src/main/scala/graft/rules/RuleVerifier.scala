@@ -26,9 +26,9 @@ object RuleVerifier {
     import spark.implicits._
     val matches = labeled.mapPartitions { it =>
       val compiled = rules.map(r => (r.name, r.answer,
-        new Rules.Matcher(r.build(
+        new Rules.Matcher(Rules.prefixed(r.build(
           Rules.subjectPat(relation.leftKind),
-          Rules.objectPat(relation.rightKind)))))
+          Rules.objectPat(relation.rightKind))))))
       it.flatMap { case (ev, label) =>
         val toks = Candidates.tokensToMatch(ev)
         compiled.map { case (name, answer, m) =>

@@ -11,8 +11,15 @@ import scala.collection.mutable
   * `mapPartitions` (the compiled rule set is broadcast once per job).
   *
   * Semantics preserved:
-  *  - anchored FULL-sequence match (rules append `Star(Any)` to absorb the
-  *    tail, cf. `examples/birthdate/was_born_rules_sample.py:57-62`)
+  *  - PREFIX match, anchored at the head: the reference applies
+  *    `refo.match`, which (like `re.match`) accepts when a prefix of the
+  *    token sequence matches — rules do NOT have to consume the tail
+  *    (most reference rules append an explicit `Star(Any)` anyway, cf.
+  *    `examples/birthdate/was_born_rules_sample.py:57-62`, but e.g.
+  *    `was_born_and_mentions_place` does not and still matches sentences
+  *    with trailing clauses). [[Matcher]] itself is full-sequence;
+  *    every rule-application site compiles through [[prefixed]], which
+  *    appends the implicit `Star(Any)`.
   *  - `Token("was born")` = concatenation of consecutive single-token
   *    predicates (`rules.py:52-64`)
   *  - rules sorted by priority desc, first match wins, no match -> False
@@ -44,6 +51,12 @@ object Rules {
   final case class Question(a: Pat) extends Pat
 
   val AnyTok: Pat = Pred("any", _ => true)
+
+  /** refo.match prefix semantics: an implicit tail-absorbing Star(Any)
+    * appended to a rule's pattern at compile time (reference
+    * `rules_core.py:71-77` matches a PREFIX, it never requires the
+    * pattern to consume the whole sentence). */
+  def prefixed(p: Pat): Pat = Cat(p, Star(AnyTok))
 
   private def words(s: String, mk: String => Pat): Pat =
     s.split(" ").map(mk).reduceLeft[Pat](Cat.apply)
@@ -175,7 +188,7 @@ object Rules {
     private val compiled: Seq[(Matcher, Boolean)] = {
       val s = subjectPat(leftKind); val o = objectPat(rightKind)
       rules.sortBy(r => -r.priority).map(r =>
-        (new Matcher(r.build(s, o)), r.answer))
+        (new Matcher(prefixed(r.build(s, o))), r.answer))
     }
     /** None if no rule matched (caller maps to False,
       * `rules_core.py:50-52`). */

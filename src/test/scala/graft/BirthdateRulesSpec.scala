@@ -71,6 +71,20 @@ class BirthdateRulesSpec extends AnyFunSuite {
     assert(!core.predict(Candidates.tokensToMatch(ev)))
   }
 
+  test("prefix-match semantics: trailing clause after the matched span") {
+    // was_born_and_mentions_place has NO trailing Star(Any) in the
+    // reference module, yet refo.match (prefix semantics) still accepts
+    // '... was born in Tehran , Iran , in 1925 , and moved abroad .' —
+    // the implicit tail absorber added at compile time must do the same.
+    val ev = evidence(
+      Seq("Nasser", "Sharify", "was", "born", "in", "Tehran", ",", "Iran",
+        ",", "in", "1925", ",", "and", "moved", "abroad", "."),
+      Seq("NNP", "NNP", "VBD", "VBN", "IN", "NNP", ",", "NNP", ",", "IN",
+        "CD", ",", "CC", "VBD", "RB", "."),
+      (0, 2), (10, 11))
+    assert(core.predict(Candidates.tokensToMatch(ev)))
+  }
+
   test("unrelated sentence matches nothing") {
     val ev = evidence(
       Seq("Pete", "visited", "Rome", "in", "1990", "."),

@@ -43,6 +43,34 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(vals(1)) < 1e-12)
   }
 
+  test("degenerate inputs propagate NULL like the composed form") {
+    import spark.implicits._
+    val df = Seq(
+      // length mismatch
+      (Array[java.lang.Float](1.0f, 2.0f),
+        Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      // null element
+      (Array[java.lang.Float](1.0f, null),
+        Array[java.lang.Float](1.0f, 2.0f)),
+      // clean row
+      (Array[java.lang.Float](1.0f, 0.0f),
+        Array[java.lang.Float](1.0f, 0.0f))).toDF("a", "b")
+    // codegen path
+    val fused = df.select(SimSearch.cosine(col("a"), col("b"))).collect()
+    assert(fused(0).isNullAt(0) && fused(1).isNullAt(0))
+    assert(math.abs(fused(2).getDouble(0) - 1.0) < 1e-12)
+    // interpreted path must agree
+    val expr = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.graftbridge.Bridge.expression(col("a").cast("array<float>")),
+      org.apache.spark.sql.graftbridge.Bridge.expression(col("b").cast("array<float>")))
+    assert(expr.nullable)
+    // composed form: same three verdicts
+    val composed = df.select(
+      SimSearch.cosineComposed(col("a"), col("b"))).collect()
+    assert(composed(0).isNullAt(0) && composed(1).isNullAt(0))
+    assert(math.abs(composed(2).getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("SQL registration: cosine_similarity usable from spark.sql") {
     CosineSimilarity.register(spark)
     vecs.createOrReplaceTempView("v")
