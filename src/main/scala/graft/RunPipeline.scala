@@ -55,14 +55,16 @@ object RunPipeline {
     }
     val t0 = System.nanoTime()
     val raw = CorpusGen.rawDocs(spark, sf)
-    val (triples, cleanup) =
-      Pipeline.runWithCleanup(spark, raw, CorpusGen.gazette(sf))
+    val run = Pipeline.runWithMetrics(spark, raw, CorpusGen.gazette(sf))
+    val triples = run.triples
     val nTriples = triples.count()
     val secs = (System.nanoTime() - t0) / 1e9
     val prf = Metrics.evaluate(triples, CorpusGen.goldenTriples(spark, sf))
-    outDir.foreach(d => Pipeline.materialize(spark, triples, d))
-    println(f"""{"sf":$sf,"cores":"$cores","docs":${CorpusGen.numDocs(sf)},"triples":$nTriples,"seconds":$secs%.2f,"triples_per_sec":${nTriples / secs}%.1f,"precision":${prf.precision}%.4f,"recall":${prf.recall}%.4f,"f1":${prf.f1}%.4f}""")
-    cleanup()
+    val truncated = run.truncatedSegments.value
+    outDir.foreach(d => Pipeline.materialize(spark, triples, d,
+      metrics = Map("truncated_segments" -> truncated.longValue)))
+    println(f"""{"sf":$sf,"cores":"$cores","docs":${CorpusGen.numDocs(sf)},"triples":$nTriples,"seconds":$secs%.2f,"triples_per_sec":${nTriples / secs}%.1f,"precision":${prf.precision}%.4f,"recall":${prf.recall}%.4f,"f1":${prf.f1}%.4f,"truncated_segments":$truncated}""")
+    run.cleanup()
     spark.stop()
   }
 }

@@ -24,10 +24,20 @@ object Candidates {
 
   val MaxPairsPerSegment = 256
 
-  def evidencesOf(seg: Segment, relation: Relation): Seq[Evidence] = {
+  def evidencesOf(seg: Segment, relation: Relation): Seq[Evidence] =
+    evidencesOfCounted(seg, relation)._1
+
+  /** Like [[evidencesOf]] but also reports whether the segment hit the
+    * pair cap (truncated=true means pairs were DROPPED — callers must
+    * count these into a run metric; a silent cap is a correctness
+    * hole on pathological sentences). */
+  def evidencesOfCounted(seg: Segment,
+      relation: Relation): (Seq[Evidence], Boolean) = {
     val lefts = seg.mentions.filter(_.kind == relation.leftKind)
     val rights = seg.mentions.filter(_.kind == relation.rightKind)
-    if (lefts.isEmpty || rights.isEmpty) return Nil
+    if (lefts.isEmpty || rights.isEmpty) return (Nil, false)
+    val shared = lefts.count(l => rights.exists(_.eo_id == l.eo_id))
+    val potential = lefts.length.toLong * rights.length - shared
     val out = ArrayBuffer.empty[Evidence]
     var i = 0
     while (i < lefts.length && out.length < MaxPairsPerSegment) {
@@ -57,7 +67,7 @@ object Candidates {
       }
       i += 1
     }
-    out.toSeq
+    (out.toSeq, potential > MaxPairsPerSegment)
   }
 
   /** Enriched token sequence for the rule engine (reference

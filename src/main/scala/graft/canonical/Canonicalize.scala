@@ -27,7 +27,18 @@ object Canonicalize {
     * are merged (same kind only). Forms: exact, lowercase, and a
     * case/underscore fold that unifies snake_case / camelCase / kebab-case
     * identifiers — the code-corpus analog of IEPy's surface-form identity
-    * (`stanford_preprocess.py:285-304`). */
+    * (`stanford_preprocess.py:285-304`).
+    *
+    * HARD CONTRACT for [[components]]' fixed iteration count: every form
+    * here must be a refinement chain ENDING in the most-folded form —
+    * i.e. two aliases sharing ANY form also share the folded form (exact
+    * equality => lower equality => folded equality). That makes every
+    * component a star through its folded-form hub (diameter <= 2 entity
+    * hops), which 2 min-propagation rounds provably converge. Adding a
+    * normalizer that can CHAIN (edit-distance buckets, token-prefix
+    * families, embedding buckets) breaks the star shape: raise
+    * `iterations` AND run with `verifyConverged = true` in tests, or
+    * components silently under-merge. */
   def normalForms(alias: String): Seq[String] = {
     val lower = alias.toLowerCase
     val folded = lower.replaceAll("[-_\\s]+", "")
@@ -45,7 +56,8 @@ object Canonicalize {
     * through at most a few normalizers). Every round is two shuffles
     * (groupBy form, groupBy entity), both algebraic-min aggregations.
     */
-  def components(spark: SparkSession, entities: DataFrame, iterations: Int = 2): DataFrame = {
+  def components(spark: SparkSession, entities: DataFrame,
+      iterations: Int = 2, verifyConverged: Boolean = false): DataFrame = {
     import spark.implicits._
     // (entity, form) edges; kind is part of the form key: never merge
     // across kinds (reference `stanford_preprocess.py:366-374`).
@@ -80,12 +92,29 @@ object Canonicalize {
     var comp = entities.select($"entity_key",
       struct(gazRank.as("r"), $"entity_key".as("k")).as("component"))
     var it = 0
-    while (it < iterations) {
-      val byForm = edges.join(comp, "entity_key")
+    def round(c: DataFrame): DataFrame = {
+      val byForm = edges.join(c, "entity_key")
         .groupBy($"form").agg(min($"component").as("fcomp"))
-      comp = edges.join(byForm, "form")
+      edges.join(byForm, "form")
         .groupBy($"entity_key").agg(min($"fcomp").as("component"))
+    }
+    while (it < iterations) {
+      comp = round(comp)
       it += 1
+    }
+    if (verifyConverged) {
+      // one extra round must be a fixpoint — the guard for the star-shape
+      // contract at normalForms (costs one action; test/debug only)
+      val frozen = comp.persist()
+      val changed = round(frozen)
+        .withColumnRenamed("component", "next")
+        .join(frozen, "entity_key")
+        .where($"next" =!= $"component").count()
+      require(changed == 0,
+        s"CC not converged after $iterations rounds: $changed components " +
+          "still moving — a normalizer violates the star-shape contract " +
+          "(see normalForms); raise `iterations`")
+      frozen.unpersist()
     }
     comp.select($"entity_key", $"component.k".as("canonical"))
   }

@@ -36,7 +36,7 @@ object ActiveLoop {
       answersPerRound: Int = 10,
       tradeoff: Option[(Double, Double)] = None): Seq[RoundResult] = {
     val labelsPath = s"$workDir/labels"
-    if (!new java.io.File(labelsPath).exists())
+    if (!graft.pipeline.Fs.exists(labelsPath))
       seedLabels.write.mode("overwrite").parquet(labelsPath)
 
     (1 to maxRounds).map { round =>
@@ -64,12 +64,7 @@ object ActiveLoop {
         .dropDuplicates("evidence_id")
       val tmp = labelsPath + "_tmp"
       updated.write.mode("overwrite").parquet(tmp)
-      val t = new java.io.File(labelsPath)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-      }
-      rm(t)
-      new java.io.File(tmp).renameTo(t)
+      graft.pipeline.Fs.swapInto(tmp, labelsPath)
 
       RoundResult(round,
         spark.read.parquet(labelsPath).count(),

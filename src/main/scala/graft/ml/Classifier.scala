@@ -122,10 +122,11 @@ object RelationClassifier {
   /** S7 classifier persistence (refuse-overwrite semantics,
     * `active_learning_core.py:60-75`). */
   def save(m: Model, dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p))
+    // Hadoop FS probes/writes: classifier bundles live on the same store
+    // as the checkpoints (Spark ML's own save already does)
+    if (graft.pipeline.Fs.exists(dir))
       throw new IllegalStateException(s"Refusing to overwrite $dir")
-    java.nio.file.Files.createDirectories(p)
+    graft.pipeline.Fs.mkdirs(dir)
     m.vectorizers.zipWithIndex.foreach { case (v, i) =>
       v.write.save(s"$dir/vec_$i")
     }
@@ -135,13 +136,12 @@ object RelationClassifier {
       case w: org.apache.spark.ml.util.MLWritable => w.write.save(s"$dir/final")
       case _ => ()
     }
-    java.nio.file.Files.writeString(p.resolve("meta.json"),
+    graft.pipeline.Fs.writeString(s"$dir/meta.json",
       s"""{"classifier":"${m.classifier}"}""")
   }
 
   def load(dir: String): Model = {
-    val meta = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$dir/meta.json"))
+    val meta = graft.pipeline.Fs.readString(s"$dir/meta.json")
     val cls = "\"classifier\":\"([a-z]+)\"".r
       .findFirstMatchIn(meta).map(_.group(1)).getOrElse("svc")
     val finalModel: Transformer =

@@ -142,9 +142,13 @@ object Pipeline {
       from_gazette: Boolean)
 
   /** Fused extract: preprocess + candidates + rule match in ONE narrow
-    * pass over the raw docs. */
+    * pass over the raw docs. `truncAcc` counts segments whose candidate
+    * pairs hit [[Candidates.MaxPairsPerSegment]] (the cap is a skew
+    * guard, never a silent drop — the count surfaces in the run manifest). */
   def extract(spark: SparkSession, raw: Dataset[RawDoc],
-      gazette: Seq[(String, String)]): Dataset[DocExtract] = {
+      gazette: Seq[(String, String)],
+      truncAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[DocExtract] = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(gazette)
     val relations = CodeRules.relations
@@ -157,7 +161,9 @@ object Pipeline {
         val b = preprocessDoc(rawDoc, ner)
         val preds = b.segments.iterator.flatMap { seg =>
           cores.iterator.flatMap { case (rel, core) =>
-            Candidates.evidencesOf(seg, rel).iterator.map { ev =>
+            val (evs, truncated) = Candidates.evidencesOfCounted(seg, rel)
+            if (truncated) truncAcc.foreach(_.add(1))
+            evs.iterator.map { ev =>
               Prediction(ev.evidence_id, rel.name, ev.left_key,
                 ev.right_key, core.predict(Candidates.tokensToMatch(ev)))
             }
@@ -170,16 +176,31 @@ object Pipeline {
     }
   }
 
+  /** Full-run handle: the triples plan, a cache-release hook, and the
+    * run metrics (accumulator values are valid after the caller's final
+    * action on the triples). */
+  final case class RunHandle(
+      triples: DataFrame,
+      cleanup: () => Unit,
+      truncatedSegments: org.apache.spark.util.LongAccumulator)
+
   /** Full run: returns the triples DataFrame [subj, pred, obj,
     * evidence_id] and a cleanup handle releasing the intermediate caches
     * (call it after the final action on the triples). */
   def runWithCleanup(spark: SparkSession, raw: Dataset[RawDoc],
       gazette: Seq[(String, String)]): (DataFrame, () => Unit) = {
+    val h = runWithMetrics(spark, raw, gazette)
+    (h.triples, h.cleanup)
+  }
+
+  def runWithMetrics(spark: SparkSession, raw: Dataset[RawDoc],
+      gazette: Seq[(String, String)]): RunHandle = {
     import spark.implicits._
+    val trunc = spark.sparkContext.longAccumulator("truncated_segments")
     // ONE narrow pass over raw docs; only ids/keys/answers are cached —
     // token arrays never leave the extract stage (cache-write of fat doc
     // bundles was the measured non-scaling cost at SF=0.1)
-    val extracted = extract(spark, raw, gazette).persist()
+    val extracted = extract(spark, raw, gazette, Some(trunc)).persist()
     val predictions = extracted.flatMap(_.predictions)
     // entities feed CC three ways (edges, initial components, canonical
     // ranking) — persist to shuffle the mention table once, not thrice
@@ -200,8 +221,8 @@ object Pipeline {
       .join(canonical.withColumnRenamed("canonical", "obj"),
         $"right_key" === $"k").drop("k")
       .select($"subj", $"relation".as("pred"), $"obj", $"evidence_id")
-    (triples, () => { extracted.unpersist(); entities.unpersist();
-      canonical.unpersist() })
+    RunHandle(triples, () => { extracted.unpersist(); entities.unpersist();
+      canonical.unpersist() }, trunc)
   }
 
   /** Full run (convenience; caches stay alive with the session). */
@@ -211,9 +232,10 @@ object Pipeline {
 
   /** Materialize triples + per-partition lineage manifest (north rule:
     * resumable per stage). Bucketing analog in plain parquet: repartition
-    * by hash(subj) so each output file is a subject bucket. */
+    * by hash(subj) so each output file is a subject bucket. Run-level
+    * `metrics` (e.g. truncated_segments) land in `_manifest/metrics.json`. */
   def materialize(spark: SparkSession, triples: DataFrame, outDir: String,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32, metrics: Map[String, Long] = Map.empty): Unit = {
     import spark.implicits._
     val t = triples.repartition(buckets, hash($"subj"))
       .sortWithinPartitions($"subj", $"pred", $"obj")
@@ -224,5 +246,9 @@ object Pipeline {
         approx_count_distinct($"subj").as("distinct_subj"))
     manifest.coalesce(1).write.mode("overwrite")
       .json(s"$outDir/_manifest")
+    if (metrics.nonEmpty)
+      Fs.writeString(s"$outDir/_manifest/metrics.json",
+        metrics.map { case (k, v) => s""""$k":$v""" }
+          .mkString("{", ",", "}"))
   }
 }

@@ -47,11 +47,12 @@ object Sources {
 
   /** S4: literal-NER name files — one name per line, the i-th label tags
     * the i-th file; later files win on conflict
-    * (reference `ner/literal.py:10-36`). */
+    * (reference `ner/literal.py:10-36`). Read through the Hadoop FS API
+    * so gazette files can live next to the corpus (HDFS/S3A). */
   def nameFiles(labels: Seq[String], paths: Seq[String]): Seq[(String, String)] = {
     require(labels.length == paths.length)
     labels.zip(paths).flatMap { case (label, path) =>
-      scala.io.Source.fromFile(path, "UTF-8").getLines()
+      graft.pipeline.Fs.readString(path).linesIterator
         .map(_.trim).filter(_.nonEmpty).map(n => (n, label)).toList
     }
   }
@@ -89,7 +90,7 @@ object Sources {
       lit(true).as("by_machine"),
       lit(runTs).as("modification_ts"))
     val merged =
-      if (new java.io.File(dir).exists()) {
+      if (graft.pipeline.Fs.exists(dir)) {
         val existing = spark.read.parquet(dir)
         existing.unionByName(rows)
           .withColumn("_rn", row_number().over(
@@ -98,16 +99,10 @@ object Sources {
               .orderBy(col("modification_ts").desc)))
           .where(col("_rn") === 1).drop("_rn")
       } else rows
+    // write-then-swap through the Hadoop FS API (works on HDFS/S3A;
+    // java.io renameTo is local-disk-only)
     val tmp = dir + "_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(dir)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(target)
-    }
-    new java.io.File(tmp).renameTo(target)
+    graft.pipeline.Fs.swapInto(tmp, dir)
   }
 }

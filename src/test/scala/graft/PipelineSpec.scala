@@ -43,6 +43,28 @@ class PipelineSpec extends SparkSpec {
     assert(comp("x_1") != comp("x_1#m"))
   }
 
+  test("CC convergence guard: 2 rounds are a fixpoint; 0 rounds are caught") {
+    import spark.implicits._
+    val entities = Seq(
+      ("a", "FUNCTION", "Foo_Bar", false),
+      ("b", "FUNCTION", "foo-bar", false),
+      ("c", "FUNCTION", "FOOBAR", false),
+      ("d", "FUNCTION", "unrelated_x", true))
+      .toDF("entity_key", "kind", "alias", "from_gazette")
+    // the star-shape contract holds for the shipped normalizers
+    val comp = Canonicalize
+      .components(spark, entities, verifyConverged = true)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp("a") == comp("b") && comp("b") == comp("c"))
+    assert(comp("d") != comp("a"))
+    // and the guard actually fires when rounds < diameter
+    val e = intercept[IllegalArgumentException] {
+      Canonicalize.components(spark, entities, iterations = 0,
+        verifyConverged = true).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("end-to-end P/R >= 0.95 on the synthetic corpus (gate)") {
     val sf = 0.0005 // ~100 docs; fast but non-trivial
     val raw = CorpusGen.rawDocs(spark, sf)
