@@ -51,11 +51,24 @@ object ActiveLearning {
     }
     val model = RelationClassifier.fit(labeled, classifier)
 
-    // rank a random sample of min(10*|labeled|, |unlabeled|)  (:215-227)
+    // rank a random sample of min(10*|labeled|, |unlabeled|)  (:215-227).
+    // Seeded Bernoulli sample() + limit, NOT orderBy(rand).limit: the
+    // latter plans as TakeOrdered with an n-element heap per task and a
+    // driver-side merge — n = 10*|labeled| reaches millions late in a
+    // labeling campaign. sample() is a narrow per-partition coin flip;
+    // the fraction carries a +4*sigma cushion so limit(n) trims overshoot
+    // and an undershoot below n is vanishingly rare (and harmless: the
+    // reference only needs SOME random bounded subset to rank).
     val nLabeled = labeled.count()
     val nUnlabeled = unlabeled.count()
     val n = math.min(10 * nLabeled, nUnlabeled).toInt
-    val sample = unlabeled.orderBy(rand(seed)).limit(n)
+    val sample =
+      if (n >= nUnlabeled) unlabeled
+      else {
+        val frac = math.min(1.0,
+          (n + 4 * math.sqrt(n.toDouble) + 10) / nUnlabeled)
+        unlabeled.sample(withReplacement = false, frac, seed).limit(n)
+      }
     val questions = model.transform(sample)
       .withColumn("uncertainty", abs(col("margin")))
       .orderBy(col("uncertainty").asc, col("evidence_id").asc)

@@ -1,9 +1,10 @@
 package graft.ml
 
 import org.apache.spark.ml.Transformer
-import org.apache.spark.ml.classification.{LinearSVC, LinearSVCModel, LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier, LinearSVC, LinearSVCModel, LogisticRegression, LogisticRegressionModel, RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, StandardScaler, StandardScalerModel, VectorAssembler}
 import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.features.Features
@@ -15,9 +16,30 @@ import graft.features.Features
   * sparse bag features -> binary vectorizer -> an inner linear SVM whose
   * decision margin becomes ONE dense feature (`ClassifierAsFeature`,
   * dimensionality reduction) -> assembled with the dense numeric
-  * features -> StandardScaler -> final linear classifier (svc default,
-  * `iepy/defaults.py:7`; the north star names logistic regression — both
-  * provided via `classifier in {"svc", "lr"}`).
+  * features -> StandardScaler -> final classifier.
+  *
+  * Final-classifier zoo — the reference accepts exactly
+  * `{sgd, knn, svc, randomforest, adaboost}`
+  * (`relation_extraction_classifier.py:12-18`; unknown names fail fast
+  * the way its `_valid_classifiers[...]` KeyError does). Spark mapping:
+  *
+  *  - svc        -> LinearSVC (hinge, the "svc" default of `iepy/defaults.py:7`)
+  *  - sgd        -> LinearSVC with SGDClassifier's regularization
+  *                  (hinge + alpha=1e-4, no feature re-standardization —
+  *                  inputs are already scaled)
+  *  - lr         -> LogisticRegression (extension; the north star names LR)
+  *  - randomforest -> RandomForestClassifier, margin = P(pos) - 0.5
+  *  - adaboost   -> GBTClassifier (Spark's native boosted ensemble;
+  *                  AdaBoost-SAMME has no Spark twin), margin = raw score
+  *  - knn        -> exact k-NN against the (human-annotation-bounded)
+  *                  labeled set, broadcast to executors; margin =
+  *                  positive-neighbor fraction - 0.5. The labeled set is
+  *                  bounded by annotation budget, never corpus-sized, so
+  *                  the broadcast is dimension-sized by construction.
+  *
+  * Every variant exposes the same surface: a `margin` column whose sign
+  * is the decision (>= 0 -> relation present), so thresholding (C7) and
+  * uncertainty sampling (C6, |margin|) are classifier-agnostic.
   *
   * Input: evidence DataFrame (schema of [[graft.schema.Evidence]]) plus a
   * boolean `label` column for fit. Features are computed in-plan by
@@ -25,6 +47,9 @@ import graft.features.Features
   * assembly boundary.
   */
 object RelationClassifier {
+
+  val validClassifiers: Seq[String] =
+    Seq("sgd", "knn", "svc", "randomforest", "adaboost", "lr")
 
   val bagCols: Seq[String] = Seq(
     "f_bag_of_words", "f_bag_of_pos",
@@ -36,22 +61,68 @@ object RelationClassifier {
     "f_verbs_count", "f_in_same_sentence", "f_symbols_in_between",
     "f_number_of_tokens")
 
+  /** The final decision stage: adds a `margin` column (>= 0 -> positive)
+    * over the scaled feature vector. */
+  sealed trait FinalStage extends Serializable {
+    def addMargin(df: DataFrame): DataFrame
+  }
+
+  /** A Spark ML model; margin from its raw-score vector slot 1, or from
+    * P(pos) - 0.5 for probability-voting ensembles. */
+  final case class MlStage(model: Transformer, fromProbability: Boolean)
+      extends FinalStage {
+    def addMargin(df: DataFrame): DataFrame = {
+      val scored = model.transform(df)
+      val margin =
+        if (fromProbability)
+          vector_to_array(col("finalProb")).getItem(1) - 0.5
+        else vector_to_array(col("finalRaw")).getItem(1)
+      scored.withColumn("margin", margin)
+        .drop("finalRaw", "finalPred", "finalProb")
+    }
+  }
+
+  /** Exact k-NN over the broadcast labeled set (euclidean on the scaled
+    * features, deterministic (distance, index) tie-break). */
+  final case class KnnStage(train: Array[(Vector, Double)], k: Int)
+      extends FinalStage {
+    def addMargin(df: DataFrame): DataFrame = {
+      val bc = df.sparkSession.sparkContext.broadcast(train)
+      val kk = k
+      val knn = udf { v: Vector =>
+        val t = bc.value
+        val scored = new Array[(Double, Int)](t.length)
+        var i = 0
+        while (i < t.length) {
+          val u = t(i)._1
+          var d = 0.0; var j = 0
+          while (j < v.size) {
+            val diff = v(j) - u(j); d += diff * diff; j += 1
+          }
+          scored(i) = (d, i)
+          i += 1
+        }
+        val nearest = scored.sortBy(identity).take(math.min(kk, t.length))
+        nearest.map(n => t(n._2)._2).sum / nearest.length - 0.5
+      }
+      df.withColumn("margin", knn(col("scaled_features")))
+    }
+  }
+
   final case class Model(
       vectorizers: Seq[CountVectorizerModel],
       innerSvc: LinearSVCModel,
       scaler: StandardScalerModel,
       classifier: String,
-      finalModel: Transformer) extends Serializable {
+      finalStage: FinalStage) extends Serializable {
 
     /** Adds `margin` (decision function) and `prediction` columns. */
     def transform(evidence: DataFrame): DataFrame = {
       val scaled = scaledFeatures(this, evidence)
-      finalModel.transform(scaled)
-        .withColumn("margin",
-          vector_to_array(col("finalRaw")).getItem(1))
+      finalStage.addMargin(scaled)
         .withColumn("prediction", col("margin") >= 0)
-        .drop("finalRaw", "finalPred", "finalProb", "sparse_features",
-          "dense_features", "scaled_features", "inner_margin")
+        .drop("sparse_features", "dense_features", "scaled_features",
+          "inner_margin")
     }
   }
 
@@ -76,6 +147,10 @@ object RelationClassifier {
   /** Fit on labeled evidence (boolean `label` column); requires both
     * classes present (reference `active_learning_core.py:127-134`). */
   def fit(labeled: DataFrame, classifier: String = "svc"): Model = {
+    require(validClassifiers.contains(classifier),
+      s"Unknown classifier '$classifier'; valid: " +
+        validClassifiers.mkString(", ") +
+        " (reference relation_extraction_classifier.py:12-18)")
     val classes = labeled.select(countDistinct(col("label"))).head.getLong(0)
     require(classes == 2,
       s"Can't train classifier with $classes classes; need 2")
@@ -104,19 +179,44 @@ object RelationClassifier {
       .setOutputCol("scaled_features").setWithMean(true).setWithStd(true)
       .fit(df)
     df = scaler.transform(df)
-    val finalModel: Transformer = classifier match {
+    val finalStage: FinalStage = classifier match {
       case "lr" =>
-        new LogisticRegression().setFeaturesCol("scaled_features")
+        MlStage(new LogisticRegression().setFeaturesCol("scaled_features")
           .setLabelCol("y").setPredictionCol("finalPred")
           .setRawPredictionCol("finalRaw").setProbabilityCol("finalProb")
-          .setMaxIter(100).fit(df)
-      case _ =>
-        new LinearSVC().setFeaturesCol("scaled_features")
+          .setMaxIter(100).fit(df), fromProbability = false)
+      case "sgd" =>
+        MlStage(new LinearSVC().setFeaturesCol("scaled_features")
           .setLabelCol("y").setPredictionCol("finalPred")
           .setRawPredictionCol("finalRaw")
-          .setMaxIter(100).setRegParam(0.01).fit(df)
+          .setMaxIter(100).setRegParam(1e-4).setStandardization(false)
+          .fit(df), fromProbability = false)
+      case "randomforest" =>
+        MlStage(new RandomForestClassifier()
+          .setFeaturesCol("scaled_features")
+          .setLabelCol("y").setPredictionCol("finalPred")
+          .setRawPredictionCol("finalRaw").setProbabilityCol("finalProb")
+          .setNumTrees(100).setSeed(42L).fit(df), fromProbability = true)
+      case "adaboost" =>
+        MlStage(new GBTClassifier().setFeaturesCol("scaled_features")
+          .setLabelCol("y").setPredictionCol("finalPred")
+          .setRawPredictionCol("finalRaw").setProbabilityCol("finalProb")
+          .setMaxIter(50).setSeed(42L).fit(df), fromProbability = false)
+      case "knn" =>
+        // the labeled set is human-annotation-bounded (same justification
+        // as the C7 threshold pooling collect)
+        val train = df.select(col("scaled_features"), col("y"))
+          .collect()
+          .map(r => (r.getAs[Vector](0), r.getDouble(1)))
+        KnnStage(train, k = 5)
+      case _ =>
+        MlStage(new LinearSVC().setFeaturesCol("scaled_features")
+          .setLabelCol("y").setPredictionCol("finalPred")
+          .setRawPredictionCol("finalRaw")
+          .setMaxIter(100).setRegParam(0.01).fit(df),
+          fromProbability = false)
     }
-    Model(vectorizers, innerSvc, scaler, classifier, finalModel)
+    Model(vectorizers, innerSvc, scaler, classifier, finalStage)
   }
 
   /** S7 classifier persistence (refuse-overwrite semantics,
@@ -132,8 +232,14 @@ object RelationClassifier {
     }
     m.innerSvc.write.save(s"$dir/inner_svc")
     m.scaler.write.save(s"$dir/scaler")
-    m.finalModel match {
-      case w: org.apache.spark.ml.util.MLWritable => w.write.save(s"$dir/final")
+    m.finalStage match {
+      case MlStage(w: org.apache.spark.ml.util.MLWritable, _) =>
+        w.write.save(s"$dir/final")
+      case KnnStage(train, _) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        spark.createDataFrame(train.toSeq).toDF("features", "y")
+          .write.parquet(s"$dir/final")
       case _ => ()
     }
     graft.pipeline.Fs.writeString(s"$dir/meta.json",
@@ -144,13 +250,29 @@ object RelationClassifier {
     val meta = graft.pipeline.Fs.readString(s"$dir/meta.json")
     val cls = "\"classifier\":\"([a-z]+)\"".r
       .findFirstMatchIn(meta).map(_.group(1)).getOrElse("svc")
-    val finalModel: Transformer =
-      if (cls == "lr") LogisticRegressionModel.load(s"$dir/final")
-      else LinearSVCModel.load(s"$dir/final")
+    val finalStage: FinalStage = cls match {
+      case "lr" =>
+        MlStage(LogisticRegressionModel.load(s"$dir/final"),
+          fromProbability = false)
+      case "randomforest" =>
+        MlStage(RandomForestClassificationModel.load(s"$dir/final"),
+          fromProbability = true)
+      case "adaboost" =>
+        MlStage(GBTClassificationModel.load(s"$dir/final"),
+          fromProbability = false)
+      case "knn" =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val train = spark.read.parquet(s"$dir/final")
+          .collect().map(r => (r.getAs[Vector](0), r.getDouble(1)))
+        KnnStage(train, k = 5)
+      case _ => // svc, sgd
+        MlStage(LinearSVCModel.load(s"$dir/final"),
+          fromProbability = false)
+    }
     Model(
       bagCols.indices.map(i => CountVectorizerModel.load(s"$dir/vec_$i")),
       LinearSVCModel.load(s"$dir/inner_svc"),
       StandardScalerModel.load(s"$dir/scaler"),
-      cls, finalModel)
+      cls, finalStage)
   }
 }

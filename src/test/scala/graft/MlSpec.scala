@@ -41,6 +41,42 @@ class MlSpec extends SparkSpec {
     assert(model.transform(df).columns.contains("margin"))
   }
 
+  test("full classifier zoo trains + separates (C1: sgd/knn/svc/randomforest/adaboost)") {
+    val df = labeledDf(8)
+    RelationClassifier.validClassifiers.foreach { name =>
+      val model = RelationClassifier.fit(df, name)
+      val rows = model.transform(df)
+        .select("prediction", "label").collect()
+      val acc = rows.count(r => r.getBoolean(0) == r.getBoolean(1))
+        .toDouble / rows.length
+      assert(acc >= 0.9, s"$name train accuracy $acc")
+    }
+  }
+
+  test("unknown classifier name fails fast with the valid set (C1 contract)") {
+    val e = intercept[IllegalArgumentException] {
+      RelationClassifier.fit(labeledDf(4), "perceptron")
+    }
+    assert(e.getMessage.contains("sgd") && e.getMessage.contains("adaboost"))
+  }
+
+  test("knn + randomforest save/load roundtrip") {
+    val df = labeledDf(6)
+    Seq("knn", "randomforest").foreach { name =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-clf-$name").toString + "/m"
+      val model = RelationClassifier.fit(df, name)
+      RelationClassifier.save(model, dir)
+      val loaded = RelationClassifier.load(dir)
+      val a = model.transform(df).select("evidence_id", "margin")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val b = loaded.transform(df).select("evidence_id", "margin")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      a.foreach { case (k, v) =>
+        assert(math.abs(b(k) - v) < 1e-9, s"$name margin drift on $k") }
+    }
+  }
+
   test("fit requires both classes (active_learning_core.py:127-134)") {
     import org.apache.spark.sql.functions._
     val df = labeledDf(4).filter(col("label"))
