@@ -117,6 +117,27 @@ object SparkEntry {
           col("n_nationkey") === col("s_nationkey"), "left_semi")
         .select(col("n_nationkey"), col("n_name"))
     }),
+    "q11_next_segment" -> ((s, d) => {
+      // Q7 REAL cascade (models.py:568-608) over KG-shaped tables derived
+      // deterministically from the driver tables: documents -> segments,
+      // events -> evidences + a label table (same derivation in the
+      // oracle SQL). Output = the full prioritized labeling queue.
+      val ev = t(s, d, "events")
+      val segments = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("segment_id"))
+      val evidences = ev.select(
+        col("event_id").cast("long").as("evidence_id"),
+        pmod(col("event_id"), lit(500)).cast("long").as("segment_id"))
+      val m7 = pmod(col("event_id"), lit(7))
+      val labels = ev.where(pmod(col("event_id"), lit(3)) === 0).select(
+        col("event_id").cast("long").as("evidence_id"),
+        when(m7 === 1, "SK").when(m7 === 2, "YE").when(m7 === 3, "NO")
+          .when(m7 === 4, "NS").when(m7 === 6, "SK")
+          .otherwise(lit(null)).as("label"),
+        concat(lit("judge_"), pmod(col("event_id"), lit(4))).as("judge"),
+        (pmod(col("event_id"), lit(5)) === 0).as("by_machine"))
+      graft.labels.NextSegment.queue(segments, evidences, labels, "judge_1")
+    }),
     "q10_confusion" -> ((s, d) => {
       // M2 metrics: one aggregation pass
       val df = t(s, d, "events").select(
@@ -269,6 +290,37 @@ object SparkEntry {
         |              / ((CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / CAST(tp + fp AS DOUBLE) END)
         |               + (CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp / CAST(tp + fn AS DOUBLE) END)) END AS f1
         |FROM c""".stripMargin,
+    "q11_next_segment" ->
+      """WITH segments AS (SELECT CAST(doc_id AS BIGINT) AS segment_id FROM documents),
+        |evidences AS (SELECT CAST(event_id AS BIGINT) AS evidence_id,
+        |  CAST(event_id % 500 AS BIGINT) AS segment_id FROM events),
+        |labels AS (SELECT CAST(event_id AS BIGINT) AS evidence_id,
+        |  CASE event_id % 7 WHEN 1 THEN 'SK' WHEN 2 THEN 'YE' WHEN 3 THEN 'NO'
+        |    WHEN 4 THEN 'NS' WHEN 6 THEN 'SK' ELSE NULL END AS label,
+        |  'judge_' || CAST(event_id % 4 AS VARCHAR) AS judge,
+        |  (event_id % 5 = 0) AS by_machine
+        |  FROM events WHERE event_id % 3 = 0),
+        |human AS (SELECT * FROM labels WHERE NOT by_machine),
+        |b AS (
+        |  SELECT e.segment_id, 1 AS priority FROM human h
+        |    JOIN evidences e USING (evidence_id)
+        |    WHERE h.label IS NULL AND h.judge = 'judge_1'
+        |  UNION ALL
+        |  SELECT e.segment_id, 2 FROM evidences e
+        |    WHERE NOT EXISTS (SELECT 1 FROM human h WHERE h.evidence_id = e.evidence_id)
+        |  UNION ALL
+        |  SELECT s.segment_id, 3 FROM segments s
+        |    WHERE NOT EXISTS (SELECT 1 FROM evidences e JOIN labels l USING (evidence_id)
+        |                      WHERE e.segment_id = s.segment_id)
+        |  UNION ALL
+        |  SELECT e.segment_id, 4 FROM evidences e
+        |    WHERE NOT EXISTS (SELECT 1 FROM labels l WHERE l.evidence_id = e.evidence_id
+        |                      AND l.label IN ('YE','NO','NS'))
+        |  UNION ALL
+        |  SELECT e.segment_id, 5 FROM human h JOIN evidences e USING (evidence_id)
+        |    WHERE h.label IS NULL)
+        |SELECT segment_id, CAST(MIN(priority) AS INT) AS priority
+        |FROM b GROUP BY 1""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |  COUNT(*) AS dups
