@@ -184,12 +184,26 @@ object SparkEntry {
         .select(col("vec_id").cast("long").as("id"), col("embedding"))
       SimSearch.cosineNearDupPairs(e, 0.9)
     }),
+    "e4_lsh_neardup" -> ((s, d) => {
+      // the scale-path near-dup (OR-banded LSH candidates + exact-cosine
+      // verify). The driver embeddings are near-orthogonal (no pairs at
+      // 0.9 — e3 proves that), so the threshold sits where the table has
+      // genuine mass; the >= 0.9-recall-at-0.9-cosine evidence lives in
+      // SimSearchSpec on clustered synthetic vectors.
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("id"), col("embedding"))
+      SimSearch.lshNearDupPairs(e, 0.35)
+    }),
     "d11_simhash_neardup" -> ((s, d) =>
       TextOps.simhashNearDupPairs(t(s, d, "documents"), maxHamming = 6)),
-    // --- KG pipeline (rows-only; gated by sbt-test golden fixtures) ----
+    // --- KG pipeline ----------------------------------------------------
     "kg_triples" -> ((s, _) => {
+      // end-to-end extract->link->canonicalize, oracled as SET equality
+      // against the generator's golden triples (dumped by Verify): a
+      // hash-exact P/R = 1.0 gate run by the driver itself
       val sf = 0.0002
       Pipeline.run(s, CorpusGen.rawDocs(s, sf), CorpusGen.gazette(sf))
+        .select(col("subj"), col("pred"), col("obj")).distinct()
     }),
     "kg_gazette_mentions" -> ((s, d) => {
       // single-token literal-NER analog with a SQL oracle: token-level
@@ -230,7 +244,61 @@ object SparkEntry {
        |   AND x.doc_id < y.doc_id)""".stripMargin
   }
 
+  /** DuckDB CTEs mirroring [[SimSearch.bandBuckets]] 1:1 — the same
+    * integer-arithmetic hyperplanes ((i*2654435761 + p*40503 +
+    * 2166136261) % 1000003 mapped to [-1,1]), 16 bands x 8 sign bits.
+    * Yields `e` (id, emb) and `bkt` (id, band_idx, bucket). */
+  private def lshBandCtes(bands: Int = 16, ppb: Int = 8): String =
+    s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+       |             CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |ex AS (SELECT id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS i,
+       |         unnest(emb) AS x FROM e),
+       |pl AS (SELECT CAST(unnest(generate_series(0, ${bands * ppb - 1})) AS BIGINT) AS p),
+       |proj AS (SELECT id, p,
+       |    SUM(x * ((CAST((i * 2654435761 + p * 40503 + 2166136261) % 1000003 AS DOUBLE)
+       |      / 500001.5) - 1.0)) AS proj
+       |  FROM ex CROSS JOIN pl GROUP BY 1, 2),
+       |bkt AS (SELECT id, CAST(p // $ppb AS INT) AS band_idx,
+       |    CAST(SUM(CASE WHEN proj >= 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(p % $ppb AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1, 2)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "e2_lsh_topk" ->
+      s"""${lshBandCtes()},
+        |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+        |  FROM bkt q JOIN bkt c
+        |    ON q.band_idx = c.band_idx AND q.bucket = c.bucket
+        |  WHERE q.id < 20 AND q.id <> c.id),
+        |s AS (SELECT query_id, neighbor_id,
+        |    ROUND(list_dot_product(a.emb, b.emb)
+        |      / (sqrt(list_dot_product(a.emb, a.emb))
+        |       * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+        |  FROM cand JOIN e a ON cand.query_id = a.id
+        |            JOIN e b ON cand.neighbor_id = b.id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank FROM s)
+        |WHERE rank <= 5""".stripMargin,
+    "e4_lsh_neardup" ->
+      s"""${lshBandCtes()},
+        |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+        |  FROM bkt x JOIN bkt y
+        |    ON x.band_idx = y.band_idx AND x.bucket = y.bucket
+        |   AND x.id < y.id)
+        |SELECT a, b, cos FROM (
+        |  SELECT cand.a, cand.b,
+        |    ROUND(list_dot_product(ea.emb, eb.emb)
+        |      / (sqrt(list_dot_product(ea.emb, ea.emb))
+        |       * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cos
+        |  FROM cand JOIN e ea ON cand.a = ea.id JOIN e eb ON cand.b = eb.id)
+        |WHERE cos >= 0.35""".stripMargin,
+    // golden triples parquet dumped by Verify next to the results;
+    // __GRAFT_OUTDIR__ is substituted with the absolute outDir at dump
+    // time (Verify.main) so the driver's DuckDB run reads the right file
+    "kg_triples" ->
+      """SELECT subj, pred, obj
+        |FROM read_parquet('__GRAFT_OUTDIR__/_golden/kg_triples/*.parquet')""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

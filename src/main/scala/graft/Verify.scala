@@ -22,6 +22,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // the kg_triples oracle compares against the corpus generator's
+    // golden (subj, pred, obj) set — dump it where the oracle SQL's
+    // __GRAFT_OUTDIR__ placeholder will point (underscore prefix keeps
+    // it invisible to directory-listing readers)
+    graft.corpus.CorpusGen.goldenTriples(spark, 0.0002)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/_golden/kg_triples")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,8 +41,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val absOut = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__GRAFT_OUTDIR__", absOut))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

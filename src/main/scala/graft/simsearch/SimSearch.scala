@@ -56,7 +56,9 @@ object SimSearch {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed arithmetic hash mapped to [-1, 1]. Pure Catalyst exprs. */
+    * a fixed arithmetic hash mapped to [-1, 1]. Pure Catalyst exprs,
+    * reproducible 1:1 in the DuckDB oracle (integer arithmetic + one
+    * division). */
   private def planeComponent(plane: Int, dim: Column): Column = {
     val h = pmod(
       (dim * lit(2654435761L) + lit(plane.toLong * 40503L + 2166136261L)),
@@ -64,20 +66,43 @@ object SimSearch {
     (h.cast("double") / lit(500001.5)) - lit(1.0)
   }
 
-  /** Sign-bit LSH bucket id over `nPlanes` hyperplanes. */
-  def bucketKey(embedding: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
+  /** Sign-bit LSH bucket id over planes [firstPlane, firstPlane+n). */
+  def bucketKey(embedding: Column, nPlanes: Int, firstPlane: Int = 0): Column =
+    (0 until nPlanes).map { j =>
       val proj = aggregate(
         zip_with(embedding,
           sequence(lit(0), size(embedding) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i.cast("long"))),
+          (x, i) => x.cast("double") *
+            planeComponent(firstPlane + j, i.cast("long"))),
         lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(0L)
+      when(proj >= 0, lit(1L << j)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
   def lshBuckets(corpus: DataFrame, nPlanes: Int = 8): DataFrame =
     corpus.select(col("id"), col("embedding"),
       bucketKey(col("embedding"), nPlanes).as("bucket"))
+
+  /** OR-banded buckets: `bands` independent sign-bit buckets of
+    * `planesPerBand` hyperplanes each (band b uses planes
+    * [b*planesPerBand, (b+1)*planesPerBand)). One exploded row per
+    * (id, band). Two vectors at angle theta share a given band with
+    * p = (1 - theta/pi)^planesPerBand, hence ANY band with
+    * 1 - (1-p)^bands — the single-bucket recall cliff (~0.29 at
+    * cos 0.9 for 8 planes) becomes ~0.996 for 16 bands x 8 planes,
+    * while random pairs still collide on only ~6% of band keys.
+    * Narrow projection + explode: zero shuffle until the band join. */
+  def bandBuckets(corpus: DataFrame, bands: Int = 16,
+      planesPerBand: Int = 8): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        bucketKey(col("embedding"), planesPerBand,
+          firstPlane = b * planesPerBand).as("bucket"))
+    }
+    corpus.select(col("id"), col("embedding"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("embedding"),
+        col("bb.band_idx").as("band_idx"), col("bb.bucket").as("bucket"))
+  }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     * cosine >= threshold. Exact (cross-join) form — the correctness
@@ -92,33 +117,40 @@ object SimSearch {
       .where(col("cos") >= threshold)
   }
 
-  /** Scale path: near-dup pairs restricted to shared LSH buckets (may
-    * miss cross-bucket pairs — recall/cost tradeoff, tune nPlanes). */
+  /** Scale path: near-dup pairs restricted to pairs sharing at least one
+    * OR-band bucket (16 bands x 8 planes by default: recall ~0.996 at
+    * cos 0.9 — SimSearchSpec holds a measured >= 0.9 floor), verified
+    * with exact cosine. Band keys are (int, long) pairs — the shuffle is
+    * O(n * bands), never O(n^2). */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
-      nPlanes: Int = 8): DataFrame = {
-    val bkt = lshBuckets(corpus, nPlanes)
+      bands: Int = 16, planesPerBand: Int = 8): DataFrame = {
+    val bkt = bandBuckets(corpus, bands, planesPerBand)
     val a = bkt.select(col("id").as("a"), col("embedding").as("ea"),
-      col("bucket"))
+      col("band_idx"), col("bucket"))
     val b = bkt.select(col("id").as("b"), col("embedding").as("eb"),
-      col("bucket"))
-    a.join(b, "bucket").where(col("a") < col("b"))
+      col("band_idx"), col("bucket"))
+    a.join(b, Seq("band_idx", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ea"), col("eb"))
+      .dropDuplicates("a", "b") // a pair may share several bands
       .select(col("a"), col("b"),
         round(cosine(col("ea"), col("eb")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket,
-    * re-ranked by exact cosine. */
+  /** Approximate top-k: candidates restricted to the query's OR-band
+    * buckets, deduped across bands, re-ranked by exact cosine. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nPlanes: Int = 8): DataFrame = {
-    val q = lshBuckets(queries, nPlanes)
+      bands: Int = 16, planesPerBand: Int = 8): DataFrame = {
+    val q = bandBuckets(queries, bands, planesPerBand)
       .select(col("id").as("query_id"), col("embedding").as("qe"),
-        col("bucket"))
-    val c = lshBuckets(corpus, nPlanes)
+        col("band_idx"), col("bucket"))
+    val c = bandBuckets(corpus, bands, planesPerBand)
       .select(col("id").as("neighbor_id"), col("embedding").as("ce"),
-        col("bucket"))
-    val scored = q.join(c, "bucket")
+        col("band_idx"), col("bucket"))
+    val scored = q.join(c, Seq("band_idx", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qe"), col("ce")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.simsearch.SimSearch
+
+/** The LSH scale path's recall contract vs the exact cross-join
+  * baseline, on clustered synthetic vectors (the driver's embeddings
+  * table is near-orthogonal, so near-dup recall must be evidenced
+  * here). */
+class SimSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 30 random unit-ish bases x 4 noisy copies each: within-cluster
+    * cosine > 0.9, cross-cluster ~0. Deterministic seed. */
+  private def clustered = {
+    val dim = 64
+    (0 until 30).flatMap { c =>
+      val rnd = new java.util.Random(1000 + c)
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (0 until 4).map { v =>
+        val noise = new java.util.Random(c * 100 + v)
+        val e = base.map(x => x + 0.12f * noise.nextGaussian().toFloat)
+        ((c * 4 + v).toLong, e)
+      }
+    }.toDF("id", "embedding")
+  }
+
+  test("banded LSH near-dup recall >= 0.9 vs exact pairs at cos 0.9") {
+    val corpus = clustered
+    val exact = SimSearch.cosineNearDupPairs(corpus, 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 50, s"fixture too sparse: ${exact.size} pairs")
+    val lsh = SimSearch.lshNearDupPairs(corpus, 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // precision is 1.0 by construction (exact-cosine verify) ...
+    assert(lsh.subsetOf(exact))
+    // ... recall is the banding's job
+    val recall = lsh.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH near-dup recall $recall < 0.9")
+  }
+
+  test("banded lshTopK finds the true nearest neighbor for most queries") {
+    val corpus = clustered
+    val queries = corpus.where($"id" % 4 === 0) // one per cluster
+    val exactTop = SimSearch.cosineTopK(queries, corpus, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val lshTop = SimSearch.lshTopK(queries, corpus, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = exactTop.count { case (q, n) => lshTop.get(q).contains(n) }
+    assert(hits.toDouble / exactTop.size >= 0.9,
+      s"top-1 agreement ${hits.toDouble / exactTop.size}")
+  }
+}
