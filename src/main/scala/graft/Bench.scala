@@ -11,10 +11,24 @@ import graft.pipeline.Pipeline
   *  1. every SparkEntry query timed on SPARK_GRAFT_SF_DIR at
   *     local[SPARK_GRAFT_CPUS];
   *  2. the end-to-end KG pipeline (extract->link->canonicalize->
-  *     materialize) on the SF=0.1 synthetic corpus at local[8] and
-  *     local[32] — the sandbox stand-in for N vs 4N executors
-  *     (BASELINE.md protocol). Reports triples/sec at both plus scaling
-  *     efficiency; also refreshes BENCH/BASELINE.md.
+  *     materialize): headline throughput at local[32]/SF=0.1, then the
+  *     N-vs-4N scaling measurement — THREE interleaved child-JVM pairs
+  *     (N, 4N, N, 4N, N, 4N), identical input and identical heap per
+  *     child, min-of-2 timed runs inside each child after a warm-up.
+  *     Reports every raw child time, the per-level median and spread,
+  *     and efficiency = (median_N / median_4N) / 4. Also refreshes
+  *     BENCH/BASELINE.md.
+  *
+  * Measurement notes (why this shape):
+  *  - each measurement runs in its OWN child JVM (fresh heap, fresh
+  *    SparkContext): sequential in-JVM sessions contaminate each other
+  *    through GC state — measured swings of 2x on identical configs;
+  *  - pairs are interleaved so any slow drift of the sandbox VM's
+  *    effective clock contributes to both levels equally;
+  *  - both levels get the SAME fixed heap (the conservative protocol:
+  *    a real 4N-executor cluster would have 4x the aggregate memory);
+  *  - min-of-2 inside a child isolates code cost from the sandbox's
+  *    +-30% wall-time noise; the medians-of-3-children bound it again.
   */
 object Bench {
 
@@ -31,91 +45,53 @@ object Bench {
     s
   }
 
-  /** Each measurement runs in its OWN child JVM (fresh heap, fresh
-    * SparkContext): sequential in-JVM sessions contaminate each other
-    * through GC state — measured swings of 2x on identical configs. */
-  private def pipelineRun(cores: Int, sf: Double, runs: Int = 1,
-      timedRuns: Int = 3): (Long, Double) = {
-    val jdk17AddOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
-    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
-    var best = Double.MaxValue
-    var n = 0L
-    (0 until runs).foreach { _ =>
-      // ParallelGC measured ~12% faster than G1 on this pipeline at
-      // both 2 and 8 cores (string-allocation heavy, throughput-bound)
-      val cmd = (Seq(javaBin, s"-Xmx$mem", "-XX:+UseParallelGC",
-        "-Dspark.ui.enabled=false",
-        "-Dspark.sql.session.timeZone=UTC") ++ jdk17AddOpens ++
-        Seq("-cp", cp, "graft.RunPipeline", sf.toString, cores.toString,
-          "--bench")).toArray
-      val pb = new ProcessBuilder(cmd: _*)
-        .redirectError(ProcessBuilder.Redirect.DISCARD) // Spark stderr
-                                                        // would fill the pipe
-      pb.environment().put("GRAFT_TIMED_RUNS", timedRuns.toString)
-      val p = pb.start()
-      val out = scala.io.Source.fromInputStream(p.getInputStream)
-        .getLines().toList
-      p.waitFor()
-      out.find(_.startsWith("{")).foreach { json =>
-        val secs = "\"seconds\":([0-9.]+)".r
-          .findFirstMatchIn(json).map(_.group(1).toDouble).getOrElse(-1.0)
-        val trip = "\"triples\":([0-9]+)".r
-          .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
-        if (secs > 0) { best = math.min(best, secs); n = trip }
-      }
-    }
-    require(n > 0, s"bench child run produced no result (cores=$cores sf=$sf)")
-    (n, best)
-  }
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Spawn graft.BenchScaling in a child JVM; returns (secN, sec4N, eff). */
-  private def scalingChild(n: Int, sf: Double): (Double, Double, Double) = {
-    val jdk17AddOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+  /** One pipeline measurement in its own child JVM: warm-up at sf/5,
+    * then `timedRuns` timed runs; returns (triples, best seconds). */
+  def childRun(cores: Int, sf: Double, timedRuns: Int,
+      mem: String): (Long, Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
-    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
+    // ParallelGC measured ~12% faster than G1 on this pipeline at
+    // both 2 and 8 cores (string-allocation heavy, throughput-bound)
     val cmd = (Seq(javaBin, s"-Xmx$mem", "-XX:+UseParallelGC",
-      "-Dspark.ui.enabled=false") ++ jdk17AddOpens ++
-      Seq("-cp", cp, "graft.BenchScaling", sf.toString, n.toString)).toArray
-    val p = new ProcessBuilder(cmd: _*)
-      .redirectError(ProcessBuilder.Redirect.DISCARD).start()
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC") ++ jdk17AddOpens ++
+      Seq("-cp", cp, "graft.RunPipeline", sf.toString, cores.toString,
+        "--bench")).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+      .redirectError(ProcessBuilder.Redirect.DISCARD) // Spark stderr
+                                                      // would fill the pipe
+    pb.environment().put("GRAFT_TIMED_RUNS", timedRuns.toString)
+    val p = pb.start()
     val out = scala.io.Source.fromInputStream(p.getInputStream)
       .getLines().toList
     p.waitFor()
     val json = out.find(_.startsWith("{")).getOrElse(
-      throw new IllegalStateException("scaling child produced no result"))
-    def field(name: String): Double =
-      ("\"" + name + "\":([0-9.]+)").r.findFirstMatchIn(json)
-        .map(_.group(1).toDouble).getOrElse(-1.0)
-    (field("sec_n"), field("sec_4n"), field("scaling_efficiency"))
+      throw new IllegalStateException(
+        s"bench child produced no result (cores=$cores sf=$sf)"))
+    val secs = "\"seconds\":([0-9.]+)".r
+      .findFirstMatchIn(json).map(_.group(1).toDouble).getOrElse(-1.0)
+    val trip = "\"triples\":([0-9]+)".r
+      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
+    require(secs > 0 && trip > 0,
+      s"bench child run failed (cores=$cores sf=$sf): $json")
+    (trip, secs)
   }
 
-  /** Deterministic triple count for an SF (counted once, cheap). */
-  private def scalingTriples(sf: Double): Long = {
-    val spark = session("32")
-    try {
-      val (t, cl) = Pipeline.runWithCleanup(spark,
-        CorpusGen.rawDocs(spark, sf), CorpusGen.gazette(sf))
-      val n = t.count(); cl(); n
-    } finally spark.stop()
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
   }
 
   def main(args: Array[String]): Unit = {
@@ -135,32 +111,45 @@ object Bench {
     }
     spark1.stop()
 
-    // part 2: KG pipeline throughput at SF=0.1 on all cores, then the
-    // N-vs-4N scaling pair. Pair choice: local[2] vs local[8] — a raw-CPU
+    // part 2a: headline throughput at full parallelism
+    val (nT, sT) = childRun(32, pipelineSf, timedRuns = 3,
+      mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
+
+    // part 2b: the scaling pair. Why local[2] vs local[8]: a raw-CPU
     // probe (multiprocess sha256, zero shared state) shows this VM's
     // hypervisor caps 8->32-worker scaling at ~0.61 efficiency even for
-    // embarrassingly parallel work, while 2->8 sits at ~0.90; 2 and 8 are
-    // the honest N/4N pair inside the hardware's linear region. SF sized
-    // so per-core compute dominates local-mode fixed overhead (~4 s),
-    // which a real 100 TB cluster amortizes away entirely.
+    // embarrassingly parallel work, while 2->8 sits at ~0.90-0.96 —
+    // 2 and 8 are the honest N/4N pair inside the hardware's linear
+    // region. SF sized so per-core compute dominates the few seconds of
+    // local-mode fixed overhead a real multi-executor run amortizes.
     val scalingSf = sys.env.get("SPARK_GRAFT_SCALING_SF")
       .map(_.toDouble).getOrElse(0.5)
     val nCores = sys.env.get("SPARK_GRAFT_SCALE_N").map(_.toInt).getOrElse(2)
-    val (nT, sT) = pipelineRun(32, pipelineSf)
-    // N and 4N measured inside ONE child JVM in symmetric order
-    // (N, 4N, 4N, N) via BenchScaling: the VM's effective-clock drift
-    // contributes equally to both sides of the ratio and cancels.
-    val (s8, s32, eff) = scalingChild(nCores, scalingSf)
-    val n32 = scalingTriples(scalingSf)
-    val n8 = n32
-    val tput8 = n8 / s8
-    val tput32 = n32 / s32
+    val scaleMem = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM", "8g")
+    val pairsN = sys.env.get("SPARK_GRAFT_SCALE_PAIRS").map(_.toInt)
+      .getOrElse(3)
+    val nRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val n4Runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var scalingTriples = 0L
+    (1 to pairsN).foreach { _ =>
+      val (t1, s1) = childRun(nCores, scalingSf, timedRuns = 2, scaleMem)
+      val (_, s2) = childRun(nCores * 4, scalingSf, timedRuns = 2, scaleMem)
+      scalingTriples = t1
+      nRuns += s1; n4Runs += s2
+    }
+    val sN = median(nRuns.toSeq)
+    val s4N = median(n4Runs.toSeq)
+    val eff = (sN / s4N) / 4.0
+    val tputN = scalingTriples / sN
+    val tput4N = scalingTriples / s4N
 
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val extra =
-      f""""pipeline_sf":$pipelineSf,"pipeline_triples":$nT,"pipeline_sec":$sT%.2f,"triples_per_sec":${nT / sT}%.1f,"scaling_sf":$scalingSf,"scaling_triples":$n32,"pipeline_sec_8":$s8%.2f,"pipeline_sec_32":$s32%.2f,"triples_per_sec_8":$tput8%.1f,"triples_per_sec_32":$tput32%.1f,"scaling_efficiency":$eff%.3f"""
+      f""""pipeline_sf":$pipelineSf,"pipeline_triples":$nT,"pipeline_sec":$sT%.2f,"triples_per_sec":${nT / sT}%.1f,"scaling_sf":$scalingSf,"scaling_triples":$scalingTriples,"scale_mem":"$scaleMem","sec_n_runs":${arr(nRuns.toSeq)},"sec_4n_runs":${arr(n4Runs.toSeq)},"pipeline_sec_8":$sN%.2f,"pipeline_sec_32":$s4N%.2f,"triples_per_sec_8":$tputN%.1f,"triples_per_sec_32":$tput4N%.1f,"scaling_efficiency":$eff%.3f"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
 
     val md =
@@ -169,7 +158,9 @@ object Bench {
          |Protocol per BASELINE.md: full pipeline (extract -> link ->
          |canonicalize -> materialize, incl. golden-corpus generation) on the
          |deterministic synthetic source-code corpus. Correctness gate
-         |precedes: `sbt -batch test` (P/R = 1.0 vs golden triples).
+         |precedes: `sbt -batch test` (P/R = 1.0 vs golden triples) and the
+         |driver's own kg_triples oracle (pipeline output = golden set,
+         |hash-exact).
          |
          |## Headline throughput (SF=$pipelineSf%.2f)
          |
@@ -179,25 +170,27 @@ object Bench {
          |
          |## Scaling N -> 4N (identical input, SF=$scalingSf%.2f)
          |
-         |Pair = local[$nCores] vs local[${nCores * 4}], measured inside
-         |one child JVM in symmetric order (N, 4N, 4N, N) so the sandbox
-         |VM's effective-clock drift cancels out of the ratio
-         |(`graft.BenchScaling`). Why this pair: a raw-CPU probe
-         |(multiprocess sha256, no shared state) shows the VM itself caps
-         |8->32-worker scaling at ~0.6 efficiency (hypervisor overcommit /
-         |clock scaling), while 2->8 scales at ~0.90-0.96 — so 2 vs 8 is
-         |the honest N-vs-4N measurement inside the hardware's linear
-         |region. SF sized so per-core compute dominates the ~5 s
-         |local-mode fixed overhead (driver-side stage scheduling + cache
-         |materialization in ONE shared JVM) that a real multi-executor
-         |100 TB run amortizes to zero.
+         |Pair = local[$nCores] vs local[${nCores * 4}]. Three interleaved
+         |child-JVM pairs (fresh heap + SparkContext per measurement, both
+         |levels at the same $scaleMem heap — the conservative choice, since a
+         |real 4N-executor cluster would bring 4x aggregate memory), min-of-2
+         |timed runs per child after a warm-up, medians compared.
          |
-         || config | triples | seconds | triples/sec |
+         |Why this pair: a raw-CPU probe (multiprocess sha256, no shared
+         |state) shows the VM itself caps 8->32-worker scaling at ~0.6
+         |efficiency (hypervisor overcommit), while 2->8 scales at
+         |~0.90-0.96 — so 2 vs 8 is the honest N-vs-4N measurement inside
+         |the hardware's linear region. The round-1 report used a shared
+         |child JVM for both levels whose GC state inflated the N-core run
+         |(superlinear 1.457 artifact); per-measurement JVMs remove it.
+         |
+         || config | raw child times (s) | median (s) | triples/sec |
          ||---|---|---|---|
-         || local[$nCores]  | $n8 | $s8%.2f | $tput8%.1f |
-         || local[${nCores * 4}] | $n32 | $s32%.2f | $tput32%.1f |
+         || local[$nCores]  | ${arr(nRuns.toSeq)} | $sN%.2f | $tputN%.1f |
+         || local[${nCores * 4}] | ${arr(n4Runs.toSeq)} | $s4N%.2f | $tput4N%.1f |
          |
-         |scaling efficiency (tput32/tput8)/4 = **$eff%.3f** (gate: >= 0.8)
+         |scaling efficiency (median_N / median_4N) / 4 = **$eff%.3f**
+         |(gate: >= 0.8; raw-CPU ceiling for this pair ~0.90-0.96)
          |""".stripMargin
     try {
       Files.createDirectories(Paths.get("BENCH"))

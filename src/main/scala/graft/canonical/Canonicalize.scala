@@ -67,10 +67,6 @@ object Canonicalize {
     val formsCol = array_distinct(array(
       $"alias", lower($"alias"),
       regexp_replace(lower($"alias"), "[-_\\s]+", "")))
-    val edges = entities
-      .select($"entity_key", $"kind", explode(formsCol).as("f"))
-      .select($"entity_key", concat_ws(" ", $"kind", $"f").as("form"))
-      .persist() // narrow (no shuffle); reused 2x per iteration
 
     // The component id IS the canonical pick: propagate the minimum of
     // struct(gaz_rank, entity_key), so gazette-born readable keys win the
@@ -79,6 +75,18 @@ object Canonicalize {
       if (entities.columns.contains("from_gazette"))
         when(col("from_gazette"), 0).otherwise(1)
       else lit(0)
+
+    // edges carry their vertex's INITIAL component inline, so round 1's
+    // form-side aggregation needs no join at all (one join + one
+    // broadcast fewer in the chain — the chain's cost is stage overhead,
+    // not data, so every removed stage is a direct win)
+    val edges = entities
+      .select($"entity_key", $"kind",
+        struct(gazRank.as("r"), $"entity_key".as("k")).as("init"),
+        explode(formsCol).as("f"))
+      .select($"entity_key", $"init",
+        concat_ws(" ", $"kind", $"f").as("form"))
+      .persist() // narrow (no shuffle); reused 2x per iteration
 
     // FIXED iteration count, fully lazy: no per-iteration action, so the
     // whole CC is one job when the caller finally acts. Convergence needs
@@ -92,21 +100,23 @@ object Canonicalize {
     var comp = entities.select($"entity_key",
       struct(gazRank.as("r"), $"entity_key".as("k")).as("component"))
     var it = 0
-    def round(c: DataFrame): DataFrame = {
-      val byForm = edges.join(c, "entity_key")
-        .groupBy($"form").agg(min($"component").as("fcomp"))
+    def round(c: DataFrame, first: Boolean): DataFrame = {
+      val byForm =
+        if (first) edges.groupBy($"form").agg(min($"init").as("fcomp"))
+        else edges.join(c, "entity_key")
+          .groupBy($"form").agg(min($"component").as("fcomp"))
       edges.join(byForm, "form")
         .groupBy($"entity_key").agg(min($"fcomp").as("component"))
     }
     while (it < iterations) {
-      comp = round(comp)
+      comp = round(comp, it == 0)
       it += 1
     }
     if (verifyConverged) {
       // one extra round must be a fixpoint — the guard for the star-shape
       // contract at normalForms (costs one action; test/debug only)
       val frozen = comp.persist()
-      val changed = round(frozen)
+      val changed = round(frozen, first = false)
         .withColumnRenamed("component", "next")
         .join(frozen, "entity_key")
         .where($"next" =!= $"component").count()
@@ -195,4 +205,18 @@ object CorefMerge {
     }
     repointed ++ created
   }
+
+  /** Apply a document's chains in order, swallowing per-chain merge
+    * refusals the way the reference logs-and-continues on
+    * CoreferenceError (`stanford_preprocess.py:131-133`). */
+  def applyChains(
+      docId: String,
+      tokens: Array[String],
+      mentions: Seq[Mention],
+      entityOf: String => Ent,
+      chains: Seq[Chain]): Seq[Mention] =
+    chains.foldLeft(mentions) { (ms, ch) =>
+      try applyChain(docId, tokens, ms, entityOf, ch)
+      catch { case _: CorefError => ms }
+    }
 }

@@ -79,8 +79,20 @@ object Pipeline {
     val camelMentions = NerRunner.run(camelNer, 1, docId, tk.tokens, tk.sentences)
     val combined = NerRunner.dedupe(
       NerRunner.combineNoOverlap(Seq(gazetteMentions, camelMentions)))
-    val segments = Segmenter.segmentsOf(doc, combined)
-    DocBundle(doc, combined.toArray, segments.toArray)
+    // P10+P11: in-document coref — surface-identity + pronoun chains
+    // produced deterministically, applied with the reference's exact
+    // merge semantics (per-chain refusals swallowed like the reference's
+    // CoreferenceError log-and-continue). Pure per-doc compute inside
+    // the fused map.
+    val entOf: Map[String, graft.canonical.CorefMerge.Ent] =
+      combined.map(m => m.entity_key -> graft.canonical.CorefMerge.Ent(
+        m.entity_key, m.kind,
+        if (m.from_gazette) Some(m.alias) else None)).toMap
+    val chains = graft.canonical.CorefChains.chains(tk.tokens, combined)
+    val merged = graft.canonical.CorefMerge.applyChains(
+      docId, tk.tokens, combined, entOf, chains)
+    val segments = Segmenter.segmentsOf(doc, merged)
+    DocBundle(doc, merged.toArray, segments.toArray)
   }
 
   def preprocess(spark: SparkSession, raw: Dataset[RawDoc],
@@ -118,10 +130,12 @@ object Pipeline {
     }
   }
 
-  /** Entity table from mentions: one row per distinct entity key. */
+  /** Entity table from mentions: one row per distinct entity key
+    * (anaphora occurrences excluded — pronoun aliases must never become
+    * CC surface forms). */
   def entityTable(spark: SparkSession, bundles: Dataset[DocBundle]): DataFrame = {
     import spark.implicits._
-    bundles.flatMap(_.mentions)
+    bundles.flatMap(_.mentions.filter(!_.anaphora))
       .groupBy($"entity_key")
       .agg(
         first($"kind").as("kind"),
@@ -144,11 +158,20 @@ object Pipeline {
   /** Fused extract: preprocess + candidates + rule match in ONE narrow
     * pass over the raw docs. `truncAcc` counts segments whose candidate
     * pairs hit [[Candidates.MaxPairsPerSegment]] (the cap is a skew
-    * guard, never a silent drop — the count surfaces in the run manifest). */
+    * guard, never a silent drop — the count surfaces in the run manifest).
+    *
+    * Cache-footprint contract: the result is what the triple path
+    * persists, so it must stay lean — `keepNegatives = false` drops
+    * answer=false predictions at the source (the triple join filters
+    * them anyway), and entity rows are deduped doc-locally (gazette
+    * mentions repeat dozens of times per doc; the global dedup still
+    * happens in the entity aggregation). At SF=2 this shrank the cache
+    * ~2.5x and removed a heap-pressure nonlinearity that was costing
+    * 2x wall time at 8 cores. */
   def extract(spark: SparkSession, raw: Dataset[RawDoc],
       gazette: Seq[(String, String)],
-      truncAcc: Option[org.apache.spark.util.LongAccumulator] = None)
-      : Dataset[DocExtract] = {
+      truncAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+      keepNegatives: Boolean = true): Dataset[DocExtract] = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(gazette)
     val relations = CodeRules.relations
@@ -166,11 +189,18 @@ object Pipeline {
             evs.iterator.map { ev =>
               Prediction(ev.evidence_id, rel.name, ev.left_key,
                 ev.right_key, core.predict(Candidates.tokensToMatch(ev)))
-            }
+            }.filter(keepNegatives || _.answer)
           }
         }.toArray
-        val ents = b.mentions.map(m =>
+        // anaphora occurrences carry the PRONOUN as alias ("it"/"this");
+        // feeding that into the entity table would hand the cross-doc CC
+        // a surface form shared by every pronoun-referenced entity and
+        // collapse them into one component. Their entity_key always has
+        // a non-anaphora antecedent mention in the same doc, so skipping
+        // them loses no entity.
+        val ents = b.mentions.filter(!_.anaphora).map(m =>
           EntityRow(m.entity_key, m.kind, m.alias, m.from_gazette))
+          .distinct
         DocExtract(preds, ents)
       }
     }
@@ -199,8 +229,11 @@ object Pipeline {
     val trunc = spark.sparkContext.longAccumulator("truncated_segments")
     // ONE narrow pass over raw docs; only ids/keys/answers are cached —
     // token arrays never leave the extract stage (cache-write of fat doc
-    // bundles was the measured non-scaling cost at SF=0.1)
-    val extracted = extract(spark, raw, gazette, Some(trunc)).persist()
+    // bundles was the measured non-scaling cost at SF=0.1), negative
+    // predictions are dropped at the source (the triple path never
+    // reads them), entity rows arrive doc-locally deduped
+    val extracted = extract(spark, raw, gazette, Some(trunc),
+      keepNegatives = false).persist()
     val predictions = extracted.flatMap(_.predictions)
     // entities feed CC three ways (edges, initial components, canonical
     // ranking) — persist to shuffle the mention table once, not thrice
