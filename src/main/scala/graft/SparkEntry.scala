@@ -122,21 +122,15 @@ object SparkEntry {
       // deterministically from the driver tables: documents -> segments,
       // events -> evidences + a label table (same derivation in the
       // oracle SQL). Output = the full prioritized labeling queue.
-      val ev = t(s, d, "events")
-      val segments = t(s, d, "documents")
-        .select(col("doc_id").cast("long").as("segment_id"))
-      val evidences = ev.select(
-        col("event_id").cast("long").as("evidence_id"),
-        pmod(col("event_id"), lit(500)).cast("long").as("segment_id"))
-      val m7 = pmod(col("event_id"), lit(7))
-      val labels = ev.where(pmod(col("event_id"), lit(3)) === 0).select(
-        col("event_id").cast("long").as("evidence_id"),
-        when(m7 === 1, "SK").when(m7 === 2, "YE").when(m7 === 3, "NO")
-          .when(m7 === 4, "NS").when(m7 === 6, "SK")
-          .otherwise(lit(null)).as("label"),
-        concat(lit("judge_"), pmod(col("event_id"), lit(4))).as("judge"),
-        (pmod(col("event_id"), lit(5)) === 0).as("by_machine"))
+      val (segments, evidences, labels) = kgShapedTables(s, d)
       graft.labels.NextSegment.queue(segments, evidences, labels, "judge_1")
+    }),
+    "q12_neighbor_nav" -> ((s, d) => {
+      // Q8 REAL labeled-neighbor navigation (models.py:511-566): the full
+      // id-ordered nav table over labeled segments with the reference's
+      // own-id edge conventions
+      val (segments, evidences, labels) = kgShapedTables(s, d)
+      graft.labels.NeighborNav.nav(segments, evidences, labels)
     }),
     "q10_confusion" -> ((s, d) => {
       // M2 metrics: one aggregation pass
@@ -216,6 +210,40 @@ object SparkEntry {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
           col("col").as("mention"))
     }))
+
+  /** KG-shaped (segments, evidences, labels) tables derived
+    * deterministically from the driver parquet — shared by the q11/q12
+    * labeling-workflow queries; [[kgShapedCtes]] is the same derivation
+    * in DuckDB SQL. */
+  private def kgShapedTables(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ev = t(s, d, "events")
+    val segments = t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("segment_id"))
+    val evidences = ev.select(
+      col("event_id").cast("long").as("evidence_id"),
+      pmod(col("event_id"), lit(500)).cast("long").as("segment_id"))
+    val m7 = pmod(col("event_id"), lit(7))
+    val labels = ev.where(pmod(col("event_id"), lit(3)) === 0).select(
+      col("event_id").cast("long").as("evidence_id"),
+      when(m7 === 1, "SK").when(m7 === 2, "YE").when(m7 === 3, "NO")
+        .when(m7 === 4, "NS").when(m7 === 6, "SK")
+        .otherwise(lit(null)).as("label"),
+      concat(lit("judge_"), pmod(col("event_id"), lit(4))).as("judge"),
+      (pmod(col("event_id"), lit(5)) === 0).as("by_machine"))
+    (segments, evidences, labels)
+  }
+
+  private val kgShapedCtes: String =
+    """WITH segments AS (SELECT CAST(doc_id AS BIGINT) AS segment_id FROM documents),
+      |evidences AS (SELECT CAST(event_id AS BIGINT) AS evidence_id,
+      |  CAST(event_id % 500 AS BIGINT) AS segment_id FROM events),
+      |labels AS (SELECT CAST(event_id AS BIGINT) AS evidence_id,
+      |  CASE event_id % 7 WHEN 1 THEN 'SK' WHEN 2 THEN 'YE' WHEN 3 THEN 'NO'
+      |    WHEN 4 THEN 'NS' WHEN 6 THEN 'SK' ELSE NULL END AS label,
+      |  'judge_' || CAST(event_id % 4 AS VARCHAR) AS judge,
+      |  (event_id % 5 = 0) AS by_machine
+      |  FROM events WHERE event_id % 3 = 0)""".stripMargin
 
   /** DuckDB CTEs mirroring [[TextOps.lshCandidatePairs]] 1:1 — 16 minhash
     * slots, 4 bands x 4 rows, band key = md5 of the band's slots joined
@@ -359,15 +387,7 @@ object SparkEntry {
         |               + (CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp / CAST(tp + fn AS DOUBLE) END)) END AS f1
         |FROM c""".stripMargin,
     "q11_next_segment" ->
-      """WITH segments AS (SELECT CAST(doc_id AS BIGINT) AS segment_id FROM documents),
-        |evidences AS (SELECT CAST(event_id AS BIGINT) AS evidence_id,
-        |  CAST(event_id % 500 AS BIGINT) AS segment_id FROM events),
-        |labels AS (SELECT CAST(event_id AS BIGINT) AS evidence_id,
-        |  CASE event_id % 7 WHEN 1 THEN 'SK' WHEN 2 THEN 'YE' WHEN 3 THEN 'NO'
-        |    WHEN 4 THEN 'NS' WHEN 6 THEN 'SK' ELSE NULL END AS label,
-        |  'judge_' || CAST(event_id % 4 AS VARCHAR) AS judge,
-        |  (event_id % 5 = 0) AS by_machine
-        |  FROM events WHERE event_id % 3 = 0),
+      s"""$kgShapedCtes,
         |human AS (SELECT * FROM labels WHERE NOT by_machine),
         |b AS (
         |  SELECT e.segment_id, 1 AS priority FROM human h
@@ -389,6 +409,17 @@ object SparkEntry {
         |    WHERE h.label IS NULL)
         |SELECT segment_id, CAST(MIN(priority) AS INT) AS priority
         |FROM b GROUP BY 1""".stripMargin,
+    "q12_neighbor_nav" ->
+      s"""$kgShapedCtes,
+        |judged AS (SELECT * FROM labels
+        |  WHERE judge IS NOT NULL AND label IS NOT NULL),
+        |ls AS (SELECT DISTINCT e.segment_id
+        |  FROM evidences e JOIN judged j USING (evidence_id)
+        |  WHERE e.segment_id IN (SELECT segment_id FROM segments))
+        |SELECT segment_id,
+        |  COALESCE(LAG(segment_id) OVER (ORDER BY segment_id), segment_id) AS prev_id,
+        |  COALESCE(LEAD(segment_id) OVER (ORDER BY segment_id), segment_id) AS next_id
+        |FROM ls""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |  COUNT(*) AS dups
