@@ -92,17 +92,19 @@ object SimSearch {
     * while random pairs still collide on only ~6% of band keys.
     * Narrow projection + explode: zero shuffle until the band join. */
   def bandBuckets(corpus: DataFrame, bands: Int = 16,
-      planesPerBand: Int = 8): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        bucketKey(col("embedding"), planesPerBand,
-          firstPlane = b * planesPerBand).as("bucket"))
-    }
-    corpus.select(col("id"), col("embedding"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("embedding"),
-        col("bb.band_idx").as("band_idx"), col("bb.bucket").as("bucket"))
-  }
+      planesPerBand: Int = 8): DataFrame =
+    // fused custom Expression: ONE pass over the embedding computes all
+    // bands*planesPerBand projections (the composed per-plane
+    // aggregate(zip_with(...)) form walks the array 128 times);
+    // bit-identical outputs — SimSearchSpec proves it against bucketKey.
+    // Embeddings deliberately NOT carried: the band join + pair dedup
+    // shuffle (id, band, bucket) rows only; embeddings re-attach from
+    // the dimension side afterwards.
+    corpus.select(col("id"),
+      posexplode(graft.functions.HyperplaneBuckets.buckets(
+        col("embedding"), bands, planesPerBand)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "bucket")
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     * cosine >= threshold. Exact (cross-join) form — the correctness
@@ -125,13 +127,21 @@ object SimSearch {
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
       bands: Int = 16, planesPerBand: Int = 8): DataFrame = {
     val bkt = bandBuckets(corpus, bands, planesPerBand)
-    val a = bkt.select(col("id").as("a"), col("embedding").as("ea"),
-      col("band_idx"), col("bucket"))
-    val b = bkt.select(col("id").as("b"), col("embedding").as("eb"),
-      col("band_idx"), col("bucket"))
-    a.join(b, Seq("band_idx", "bucket")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("ea"), col("eb"))
-      .dropDuplicates("a", "b") // a pair may share several bands
+    val a = bkt.select(col("id").as("a"), col("band_idx"), col("bucket"))
+    val b = bkt.select(col("id").as("b"), col("band_idx"), col("bucket"))
+    // candidates as bare id pairs: the cross-band dedup shuffles 16-byte
+    // rows, never embedding payloads; embeddings re-attach from the
+    // dimension side (broadcast here; on an un-broadcastable corpus drop
+    // the hint and AQE degrades to a shuffle join on id)
+    val cand = a.join(b, Seq("band_idx", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val e = corpus.select(col("id"), col("embedding"))
+    cand
+      .join(broadcast(e.select(col("id").as("a"),
+        col("embedding").as("ea"))), "a")
+      .join(broadcast(e.select(col("id").as("b"),
+        col("embedding").as("eb"))), "b")
       .select(col("a"), col("b"),
         round(cosine(col("ea"), col("eb")), 6).as("cos"))
       .where(col("cos") >= threshold)
@@ -142,15 +152,17 @@ object SimSearch {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       bands: Int = 16, planesPerBand: Int = 8): DataFrame = {
     val q = bandBuckets(queries, bands, planesPerBand)
-      .select(col("id").as("query_id"), col("embedding").as("qe"),
-        col("band_idx"), col("bucket"))
+      .select(col("id").as("query_id"), col("band_idx"), col("bucket"))
     val c = bandBuckets(corpus, bands, planesPerBand)
-      .select(col("id").as("neighbor_id"), col("embedding").as("ce"),
-        col("band_idx"), col("bucket"))
-    val scored = q.join(c, Seq("band_idx", "bucket"))
+      .select(col("id").as("neighbor_id"), col("band_idx"), col("bucket"))
+    val cand = q.join(c, Seq("band_idx", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val scored = cand
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .join(broadcast(corpus.select(col("id").as("neighbor_id"),
+        col("embedding").as("ce"))), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qe"), col("ce")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))

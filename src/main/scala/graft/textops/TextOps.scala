@@ -95,16 +95,16 @@ object TextOps {
     * signatures are a narrow map over the scan: zero shuffle at any
     * scale. */
   def minhash(documents: DataFrame, k: Int = 4): DataFrame = {
-    // token array materialized in its own projection so the k slot
-    // expressions share it (CollapseProject keeps non-cheap aliases
-    // used k times un-inlined)
-    val withToks = documents.select(
+    // fused custom Expression: one pass over the token array computes
+    // all k salted-md5 minima (vs k transform+array_min walks with
+    // per-token concat/hex allocations) — value-identical to the
+    // composed form and the DuckDB oracle (TextOpsSpec proves it)
+    val withSlots = documents.select(
       col("doc_id").cast("long").as("doc_id"),
-      array_distinct(tokens(col("text"))).as("_toks"))
-    val slots = (0 until k).map(i =>
-      array_min(transform(col("_toks"), t => md5(concat(lit(s"$i:"), t))))
-        .as(s"mh_$i"))
-    withToks.select(col("doc_id") +: slots: _*)
+      graft.functions.MinHashSlots.slots(
+        array_distinct(tokens(col("text"))), k).as("_mh"))
+    val slots = (0 until k).map(i => col("_mh").getItem(i).as(s"mh_$i"))
+    withSlots.select(col("doc_id") +: slots: _*)
   }
 
   /** LSH candidate pairs with real b-bands x r-rows banding: k = b*r
@@ -127,9 +127,13 @@ object TextOps {
       struct(lit(b).as("band_idx"),
         md5(concat_ws("|", slots: _*)).as("bkey"))
     }
+    // the band table is tiny (docs x bands rows of (id, int, 32-char
+    // key)) but expensive to derive (text scan + k md5-minima per doc) —
+    // persist it so the self-join's two sides don't recompute the scan
     val exploded = mh
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.bkey"))
+      .persist()
     val l = exploded.select(col("doc_id").as("a"), col("band_idx"),
       col("bkey"))
     val r = exploded.select(col("doc_id").as("b"), col("band_idx"),

@@ -25,6 +25,20 @@ class SimSearchSpec extends SparkSpec {
     }.toDF("id", "embedding")
   }
 
+  test("fused HyperplaneBuckets expression == composed per-plane bucketKey") {
+    val corpus = clustered
+    val fused = SimSearch.bandBuckets(corpus, 16, 8)
+      .select("id", "band_idx", "bucket")
+      .as[(Long, Int, Long)].collect().toSet
+    val composed = corpus.select(col("id"),
+      explode(array((0 until 16).map(b => struct(lit(b).as("band_idx"),
+        SimSearch.bucketKey(col("embedding"), 8, firstPlane = b * 8)
+          .as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band_idx"), col("bb.bucket"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fused == composed)
+  }
+
   test("banded LSH near-dup recall >= 0.9 vs exact pairs at cos 0.9") {
     val corpus = clustered
     val exact = SimSearch.cosineNearDupPairs(corpus, 0.9)

@@ -51,6 +51,19 @@ class TextOpsSpec extends SparkSpec {
       s"banding degenerate: $n of $allPairs pairs became candidates")
   }
 
+  test("fused MinHashSlots == composed per-slot md5 minima") {
+    val docs = familyDocs(4, 3, 25, 3).toDF("doc_id", "text")
+    val fused = TextOps.minhash(docs, 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val toks = array_distinct(split(col("text"), " "))
+    val composed = docs.select(
+      (col("doc_id").cast("long").as("doc_id") +:
+        (0 until 8).map(i => array_min(transform(toks,
+          t => md5(concat(lit(s"$i:"), t)))).as(s"mh_$i"))): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fused == composed)
+  }
+
   test("jaccardOfPairs is exact") {
     val docs = Seq(
       (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")
