@@ -321,12 +321,13 @@ object SparkEntry {
         |       * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cos
         |  FROM cand JOIN e ea ON cand.a = ea.id JOIN e eb ON cand.b = eb.id)
         |WHERE cos >= 0.35""".stripMargin,
-    // golden triples parquet dumped by Verify next to the results;
-    // __GRAFT_OUTDIR__ is substituted with the absolute outDir at dump
-    // time (Verify.main) so the driver's DuckDB run reads the right file
+    // golden triples parquet dumped by Verify to the sibling dir
+    // <outDir>_golden; __GRAFT_OUTDIR__ is substituted with the absolute
+    // outDir at dump time (Verify.main) so the driver's DuckDB run reads
+    // the right file
     "kg_triples" ->
       """SELECT subj, pred, obj
-        |FROM read_parquet('__GRAFT_OUTDIR__/_golden/kg_triples/*.parquet')""".stripMargin,
+        |FROM read_parquet('__GRAFT_OUTDIR___golden/kg_triples/*.parquet')""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

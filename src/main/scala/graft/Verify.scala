@@ -23,12 +23,12 @@ object Verify {
       }
     }
     // the kg_triples oracle compares against the corpus generator's
-    // golden (subj, pred, obj) set — dump it where the oracle SQL's
-    // __GRAFT_OUTDIR__ placeholder will point (underscore prefix keeps
-    // it invisible to directory-listing readers)
+    // golden (subj, pred, obj) set — dumped to a SIBLING of outDir (so
+    // a reader enumerating outDir's result dirs never trips on it);
+    // the oracle SQL's __GRAFT_OUTDIR__ placeholder points there
     graft.corpus.CorpusGen.goldenTriples(spark, 0.0002)
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/_golden/kg_triples")
+      .parquet(s"${outDir.stripSuffix("/")}_golden/kg_triples")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
