@@ -151,6 +151,10 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       TextOps.jaccardOfPairs(docs, TextOps.lshCandidatePairs(docs))
     }),
+    "d12_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.ngramJaccardOfPairs(docs, TextOps.lshCandidatePairs(docs))
+    }),
     "d8_simhash" -> ((s, d) => TextOps.simhash(t(s, d, "documents"))),
     "d10_bpe_tokens" -> ((s, d) => {
       // BPE-ish regex pre-tokenization count: letter runs / digit runs /
@@ -478,6 +482,17 @@ object SparkEntry {
         |SELECT p.a, p.b,
         |  ROUND(CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
         |    / len(list_distinct(list_concat(da.toks, db.toks))), 4) AS jaccard
+        |FROM pairs p JOIN dt da ON p.a = da.doc_id JOIN dt db ON p.b = db.doc_id""".stripMargin,
+    "d12_ngram_jaccard" ->
+      s"""$lshPairsCtes,
+        |dt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS sh
+        |  FROM documents)
+        |SELECT p.a, p.b,
+        |  ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS ngram_jaccard
         |FROM pairs p JOIN dt da ON p.a = da.doc_id JOIN dt db ON p.b = db.doc_id""".stripMargin,
     "e1_cosine_topk" ->
       """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,

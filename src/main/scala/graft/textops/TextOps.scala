@@ -176,6 +176,32 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** n-gram (shingle) Jaccard for candidate pairs: like
+    * [[jaccardOfPairs]] but over the set of w-token shingles instead of
+    * unigrams — order-sensitive, so reshuffled near-dups score lower
+    * than bag-of-words Jaccard. Same join shape: shingle sets pre-hashed
+    * to longs, dimension side broadcast, |union| from sizes. */
+  def ngramJaccardOfPairs(documents: DataFrame, pairs: DataFrame,
+      w: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val shingles = array_distinct(transform(
+      sequence(lit(0), greatest(n - w, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w))))))
+    val docSh = documents.select(col("doc_id").cast("long").as("doc_id"),
+      shingles.as("sh")).withColumn("n", size(col("sh")))
+    pairs
+      .join(broadcast(docSh.select(col("doc_id").as("a"),
+        col("sh").as("sa"), col("n").as("na"))), "a")
+      .join(broadcast(docSh.select(col("doc_id").as("b"),
+        col("sh").as("sb"), col("n").as("nb"))), "b")
+      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("a"), col("b"),
+        round(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double"), 4)
+          .as("ngram_jaccard"))
+  }
+
   /** SimHash-64 over tokens: per bit, sign of sum over tokens of
     * (bit(xxhash64(token)) ? +1 : -1). Spark-native (xxhash64 has no
     * DuckDB twin -> rows-only oracle). */

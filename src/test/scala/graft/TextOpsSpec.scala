@@ -76,6 +76,25 @@ class TextOpsSpec extends SparkSpec {
     assert(byPair((1L, 3L)) == 0.0)
   }
 
+  test("ngramJaccardOfPairs is exact and order-sensitive") {
+    val docs = Seq(
+      (1L, "a b c d e"),   // shingles: abc bcd cde
+      (2L, "a b c e d"),   // shingles: abc bce ced -> shares only abc
+      (3L, "e d c b a")    // reversed: no shared shingles, same tokens
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val j = TextOps.ngramJaccardOfPairs(docs, pairs, w = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(j((1L, 2L)) == 0.2)  // 1 shared of 5 distinct shingles
+    assert(j((1L, 3L)) == 0.0)  // token-identical but order-reversed
+    // contrast: unigram jaccard calls them identical
+    val uni = TextOps.jaccardOfPairs(docs, pairs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(uni((1L, 3L)) == 1.0)
+  }
+
   test("simhash banding recall vs brute force at maxHamming=6") {
     // 4 x 16-bit bands GUARANTEE recall only to Hamming <= 3 (pigeonhole);
     // pairs at 4..6 are probabilistic. Measure both regimes.
