@@ -279,21 +279,66 @@ object SparkEntry {
   /** DuckDB CTEs mirroring [[SimSearch.bandBuckets]] 1:1 — the same
     * integer-arithmetic hyperplanes ((i*2654435761 + p*40503 +
     * 2166136261) % 1000003 mapped to [-1,1]), 16 bands x 8 sign bits.
-    * Yields `e` (id, emb) and `bkt` (id, band_idx, bucket). */
+    * Yields `e` (id, emb) and `bkt` (id, band_idx, bucket).
+    *
+    * The projection is a DETERMINISTIC ordered reduction —
+    * `list_dot_product` over the ordered embedding and a generated plane
+    * list — never `SUM` over unnested rows, whose float accumulation
+    * order under parallel aggregation is unspecified and could flip a
+    * sign bit of a projection near zero (rounding protects cosine
+    * values, not sign bits). Matches Spark's left-to-right double
+    * accumulation in `HyperplaneBuckets`. */
   private def lshBandCtes(bands: Int = 16, ppb: Int = 8): String =
     s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
        |             CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |ex AS (SELECT id, CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS i,
-       |         unnest(emb) AS x FROM e),
        |pl AS (SELECT CAST(unnest(generate_series(0, ${bands * ppb - 1})) AS BIGINT) AS p),
-       |proj AS (SELECT id, p,
-       |    SUM(x * ((CAST((i * 2654435761 + p * 40503 + 2166136261) % 1000003 AS DOUBLE)
-       |      / 500001.5) - 1.0)) AS proj
-       |  FROM ex CROSS JOIN pl GROUP BY 1, 2),
+       |proj AS (SELECT e.id, pl.p,
+       |    list_dot_product(e.emb,
+       |      list_transform(generate_series(0, len(e.emb) - 1),
+       |        i -> ((CAST((CAST(i AS BIGINT) * 2654435761 + pl.p * 40503 + 2166136261) % 1000003 AS DOUBLE)
+       |          / 500001.5) - 1.0))) AS proj
+       |  FROM e CROSS JOIN pl),
        |bkt AS (SELECT id, CAST(p // $ppb AS INT) AS band_idx,
        |    CAST(SUM(CASE WHEN proj >= 0
        |      THEN (CAST(1 AS BIGINT) << CAST(p % $ppb AS INT)) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB CTEs mirroring [[TextOps.simhash]] 1:1 — per distinct token,
+    * 64 bits from the first 16 hex nibbles of md5(token) (bit i = bit
+    * i%4 of nibble i/4), per-bit +-1 sums, sign -> signature bit;
+    * unsigned 2^i accumulation in HUGEINT folded back to the signed
+    * BIGINT Spark produces. Yields `sig` (doc_id, simhash). */
+  private def simhashCtes: String = {
+    val nibbles = (0 until 16)
+      .map(j => s"    strpos('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1 AS nb$j")
+      .mkString(",\n")
+    val bitSums = (0 until 64).map { i =>
+      s"    CAST(SUM(CASE WHEN ((nb${i / 4} >> ${i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$i"
+    }.mkString(",\n")
+    val sigSum = (0 until 64).map { i =>
+      s"CASE WHEN b$i > 0 THEN CAST(${BigInt(1) << i} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+    }.mkString("\n      + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(t) AS hx
+       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |        FROM documents)),
+       |nib AS (
+       |  SELECT doc_id,
+       |$nibbles
+       |  FROM tok),
+       |bits AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |$bitSums
+       |  FROM nib GROUP BY 1),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(u - CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+       |      THEN CAST(18446744073709551616 AS HUGEINT)
+       |      ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash
+       |  FROM (SELECT doc_id,
+       |      $sigSum AS u
+       |    FROM bits))""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "e2_lsh_topk" ->
@@ -465,6 +510,33 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, lang DESC) AS rn FROM s)
         |WHERE rn = 1""".stripMargin,
+    "d8_simhash" ->
+      s"""$simhashCtes
+        |SELECT doc_id, simhash FROM sig""".stripMargin,
+    "d11_simhash_neardup" ->
+      s"""$simhashCtes,
+        |bands AS (
+        |  SELECT doc_id, simhash, 0 AS band_idx, (simhash >> 0) & 65535 AS band FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, simhash, 1, (simhash >> 16) & 65535 FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, simhash, 2, (simhash >> 32) & 65535 FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, simhash, 3, (simhash >> 48) & 65535 FROM sig)
+        |SELECT a, b, hamming FROM (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band = y.band
+        |   AND x.doc_id < y.doc_id)
+        |WHERE hamming <= 6""".stripMargin,
+    "d9_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  list_min(list_transform(
+        |    generate_series(0, greatest(len(tk) - 3, 0)),
+        |    i -> md5(array_to_string(tk[i+1:i+3], ' ')))) AS fingerprint
+        |FROM t""".stripMargin,
     "d5_minhash" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  MIN(md5('0:' || t)) AS mh_0, MIN(md5('1:' || t)) AS mh_1,

@@ -20,6 +20,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // release operator-internal persists + anything else cached so
+        // queries stay independent (no cross-query cache accumulation)
+        graft.pipeline.Caches.release()
+        spark.catalog.clearCache()
       }
     }
     // the kg_triples oracle compares against the corpus generator's

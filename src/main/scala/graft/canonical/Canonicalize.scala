@@ -80,13 +80,14 @@ object Canonicalize {
     // form-side aggregation needs no join at all (one join + one
     // broadcast fewer in the chain — the chain's cost is stage overhead,
     // not data, so every removed stage is a direct win)
-    val edges = entities
+    val edges = graft.pipeline.Caches.tracked(entities
       .select($"entity_key", $"kind",
         struct(gazRank.as("r"), $"entity_key".as("k")).as("init"),
         explode(formsCol).as("f"))
       .select($"entity_key", $"init",
-        concat_ws(" ", $"kind", $"f").as("form"))
-      .persist() // narrow (no shuffle); reused 2x per iteration
+        concat_ws(" ", $"kind", $"f").as("form")))
+      // narrow (no shuffle); reused 2x per iteration; tracked so the
+      // pipeline run handle / bench harness releases it post-materialize
 
     // FIXED iteration count, fully lazy: no per-iteration action, so the
     // whole CC is one job when the caller finally acts. Convergence needs

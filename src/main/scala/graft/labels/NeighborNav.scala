@@ -59,7 +59,14 @@ object NeighborNav {
 
   /** The reference's single pick (`models.py:546-566`): prev/next of
     * `objId` in the labeled set; not-in-list -> last labeled id;
-    * empty -> None. */
+    * empty -> None.
+    *
+    * Distributed form — the labeled set never reaches the driver: one
+    * aggregation row decides emptiness / membership / the last id, and
+    * the pick itself is a bounded max/min over ids strictly before/after
+    * `objId` (the window-free equivalent of a limit-2 probe around it).
+    * Two small jobs total over an already annotation-bounded set, vs the
+    * round-2 full collect. */
   def neighbor(
       segments: DataFrame,
       evidences: DataFrame,
@@ -67,13 +74,22 @@ object NeighborNav {
       objId: Long,
       back: Boolean,
       judge: Option[String] = None): Option[Long] = {
-    val ids = labeledSegments(segments, evidences, labels, judge)
-      .orderBy(col("segment_id"))
-      .collect().map(_.getLong(0))
-    if (ids.isEmpty) return None
-    val idx = ids.indexOf(objId)
-    if (idx < 0) Some(ids.last)
-    else if (back) Some(if (idx == 0) objId else ids(idx - 1))
-    else Some(if (idx == ids.length - 1) objId else ids(idx + 1))
+    val ls = labeledSegments(segments, evidences, labels, judge).persist()
+    try {
+      val head = ls.agg(
+        count(lit(1)).as("n"),
+        max(col("segment_id")).as("last"),
+        max(when(col("segment_id") === objId, lit(1)).otherwise(lit(0)))
+          .as("present")).head()
+      if (head.getLong(0) == 0L) return None
+      if (head.getInt(2) == 0) return Some(head.getLong(1))
+      val probe =
+        if (back) ls.where(col("segment_id") < objId)
+          .agg(max(col("segment_id")))
+        else ls.where(col("segment_id") > objId)
+          .agg(min(col("segment_id")))
+      val r = probe.head()
+      Some(if (r.isNullAt(0)) objId else r.getLong(0))
+    } finally ls.unpersist(false)
   }
 }

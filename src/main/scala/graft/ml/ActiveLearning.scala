@@ -61,13 +61,19 @@ object ActiveLearning {
     // reference only needs SOME random bounded subset to rank).
     val nLabeled = labeled.count()
     val nUnlabeled = unlabeled.count()
-    val n = math.min(10 * nLabeled, nUnlabeled).toInt
+    // n stays Long end-to-end: 10 * |labeled| can exceed Int.MaxValue
+    // late in a campaign, and a .toInt wrap would turn the fraction
+    // negative and make sample() throw. limit() only applies when n is
+    // Int-expressible; beyond that the Bernoulli sample IS the bound
+    // (the reference only needs SOME random bounded subset to rank).
+    val n: Long = math.min(10L * nLabeled, nUnlabeled)
     val sample =
       if (n >= nUnlabeled) unlabeled
       else {
         val frac = math.min(1.0,
           (n + 4 * math.sqrt(n.toDouble) + 10) / nUnlabeled)
-        unlabeled.sample(withReplacement = false, frac, seed).limit(n)
+        val sampled = unlabeled.sample(withReplacement = false, frac, seed)
+        if (n <= Int.MaxValue) sampled.limit(n.toInt) else sampled
       }
     val questions = model.transform(sample)
       .withColumn("uncertainty", abs(col("margin")))

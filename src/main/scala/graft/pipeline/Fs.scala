@@ -35,14 +35,41 @@ object Fs {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** Overwrite-swap `tmp` into `target`: delete target, rename tmp.
+  /** Overwrite-swap `tmp` into `target`, crash-safe: rename the current
+    * target aside (`<target>_old`), rename tmp into place, then delete
+    * the old copy. A crash at ANY point leaves a recoverable table — the
+    * old data survives as `target` or `target_old` until the new data is
+    * in place (the round-2 delete-then-rename had a window where neither
+    * existed). A stale `_old` from a previous crash is cleared first; if
+    * `target` is missing but `_old` exists, the old copy is restored
+    * before the swap logic so the aside-rename is always from live data.
     * Rename is atomic on HDFS/local; on object stores it is a copy —
-    * still safe here because swapped tables are read only between
-    * batch rounds, never concurrently with the swap. */
+    * still safe here because swapped tables are read only between batch
+    * rounds, never concurrently with the swap. */
   def swapInto(tmp: String, target: String): Unit = {
-    deleteRecursive(target)
-    require(of(target).rename(new Path(tmp), new Path(target)),
+    val fs = of(target)
+    val tgt = new Path(target)
+    val old = new Path(target + "_old")
+    if (!fs.exists(tgt) && fs.exists(old))
+      require(fs.rename(old, tgt), s"crash recovery $old -> $target failed")
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadTarget = fs.exists(tgt)
+    if (hadTarget)
+      require(fs.rename(tgt, old), s"rename $target -> $old failed")
+    require(fs.rename(new Path(tmp), tgt),
       s"rename $tmp -> $target failed")
+    if (hadTarget) fs.delete(old, true)
+  }
+
+  /** Restore a table lost to a crash mid-[[swapInto]]: if `target` is
+    * missing but `<target>_old` exists, rename it back. Returns true if
+    * a restore happened. */
+  def recoverSwap(target: String): Boolean = {
+    val fs = of(target)
+    val tgt = new Path(target)
+    val old = new Path(target + "_old")
+    if (!fs.exists(tgt) && fs.exists(old)) { fs.rename(old, tgt); true }
+    else false
   }
 
   /** Child directories of `parent` whose name starts with `prefix`,

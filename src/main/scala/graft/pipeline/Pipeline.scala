@@ -255,7 +255,7 @@ object Pipeline {
         $"right_key" === $"k").drop("k")
       .select($"subj", $"relation".as("pred"), $"obj", $"evidence_id")
     RunHandle(triples, () => { extracted.unpersist(); entities.unpersist();
-      canonical.unpersist() }, trunc)
+      canonical.unpersist(); Caches.release() }, trunc)
   }
 
   /** Full run (convenience; caches stay alive with the session). */

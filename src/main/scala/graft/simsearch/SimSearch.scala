@@ -131,16 +131,18 @@ object SimSearch {
     val b = bkt.select(col("id").as("b"), col("band_idx"), col("bucket"))
     // candidates as bare id pairs: the cross-band dedup shuffles 16-byte
     // rows, never embedding payloads; embeddings re-attach from the
-    // dimension side (broadcast here; on an un-broadcastable corpus drop
-    // the hint and AQE degrades to a shuffle join on id)
+    // dimension side. No explicit broadcast hint (an explicit hint is
+    // mandatory for Spark — AQE will not degrade it — so a corpus-sized
+    // embedding table would OOM): AQE broadcasts while the side fits and
+    // falls back to a shuffle join on id at scale. See TextOps.dimSide.
     val cand = a.join(b, Seq("band_idx", "bucket"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     val e = corpus.select(col("id"), col("embedding"))
     cand
-      .join(broadcast(e.select(col("id").as("a"),
+      .join(graft.textops.TextOps.dimSide(e.select(col("id").as("a"),
         col("embedding").as("ea"))), "a")
-      .join(broadcast(e.select(col("id").as("b"),
+      .join(graft.textops.TextOps.dimSide(e.select(col("id").as("b"),
         col("embedding").as("eb"))), "b")
       .select(col("a"), col("b"),
         round(cosine(col("ea"), col("eb")), 6).as("cos"))
@@ -159,10 +161,11 @@ object SimSearch {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
     val scored = cand
-      .join(broadcast(queries.select(col("id").as("query_id"),
-        col("embedding").as("qe"))), "query_id")
-      .join(broadcast(corpus.select(col("id").as("neighbor_id"),
-        col("embedding").as("ce"))), "neighbor_id")
+      .join(graft.textops.TextOps.dimSide(queries.select(
+        col("id").as("query_id"), col("embedding").as("qe"))), "query_id")
+      .join(graft.textops.TextOps.dimSide(corpus.select(
+        col("id").as("neighbor_id"), col("embedding").as("ce"))),
+        "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qe"), col("ce")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))

@@ -22,6 +22,18 @@ object TextOps {
 
   private def tokens(text: Column): Column = split(text, " ")
 
+  /** Dimension-side join hint. Default: NO hint — AQE broadcasts a side
+    * it measures under `spark.sql.adaptive.autoBroadcastJoinThreshold`
+    * at runtime and falls back to a shuffle join otherwise, which is the
+    * behavior a 100 TB corpus needs (an explicit broadcast() hint is
+    * mandatory: AQE will NOT degrade it, so a corpus-sized "dimension"
+    * OOMs the driver). `graft.dim.broadcast=force` restores the hint for
+    * callers that know the table is dimension-sized. */
+  private[graft] def dimSide(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("graft.dim.broadcast")
+        .contains("force")) broadcast(df)
+    else df
+
   /** Exact duplicate groups: digest -> surviving doc + duplicate count.
     * md5 keeps the oracle cross-engine (same hex in DuckDB). */
   def dedupExact(documents: DataFrame): DataFrame =
@@ -129,11 +141,12 @@ object TextOps {
     }
     // the band table is tiny (docs x bands rows of (id, int, 32-char
     // key)) but expensive to derive (text scan + k md5-minima per doc) —
-    // persist it so the self-join's two sides don't recompute the scan
-    val exploded = mh
+    // persist it so the self-join's two sides don't recompute the scan.
+    // Tracked: Caches.release() (bench harness / pipeline run handle)
+    // unpersists it once downstream results are materialized.
+    val exploded = graft.pipeline.Caches.tracked(mh
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_idx"), col("bk.bkey"))
-      .persist()
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.bkey")))
     val l = exploded.select(col("doc_id").as("a"), col("band_idx"),
       col("bkey"))
     val r = exploded.select(col("doc_id").as("b"), col("band_idx"),
@@ -146,10 +159,10 @@ object TextOps {
     * near-dup detection).
     *
     * Join shape: the token-set table is the dimension side (one row per
-    * doc, vs O(near-dups) candidate pairs on the fact side), so both
-    * lookups broadcast it — the pair stream never shuffles. On a corpus
-    * whose distinct-doc table outgrows executor memory, drop the hint and
-    * AQE falls back to a shuffle join keyed on doc id; the pair side
+    * doc, vs O(near-dups) candidate pairs on the fact side). No explicit
+    * broadcast hint (see [[dimSide]]): AQE broadcasts it while it fits
+    * and degrades to a shuffle join keyed on doc id on a corpus whose
+    * distinct-doc table outgrows executor memory; the pair side then
     * still shuffles only (a, b, jaccard)-width rows, never two token
     * arrays per pair twice. */
   def jaccardOfPairs(documents: DataFrame, pairs: DataFrame): DataFrame = {
@@ -165,9 +178,9 @@ object TextOps {
         .as("toks"))
       .withColumn("n", size(col("toks")))
     pairs
-      .join(broadcast(docTok.select(col("doc_id").as("a"),
+      .join(dimSide(docTok.select(col("doc_id").as("a"),
         col("toks").as("ta"), col("n").as("na"))), "a")
-      .join(broadcast(docTok.select(col("doc_id").as("b"),
+      .join(dimSide(docTok.select(col("doc_id").as("b"),
         col("toks").as("tb"), col("n").as("nb"))), "b")
       .withColumn("ni", size(array_intersect(col("ta"), col("tb"))))
       .select(col("a"), col("b"),
@@ -191,9 +204,9 @@ object TextOps {
     val docSh = documents.select(col("doc_id").cast("long").as("doc_id"),
       shingles.as("sh")).withColumn("n", size(col("sh")))
     pairs
-      .join(broadcast(docSh.select(col("doc_id").as("a"),
+      .join(dimSide(docSh.select(col("doc_id").as("a"),
         col("sh").as("sa"), col("n").as("na"))), "a")
-      .join(broadcast(docSh.select(col("doc_id").as("b"),
+      .join(dimSide(docSh.select(col("doc_id").as("b"),
         col("sh").as("sb"), col("n").as("nb"))), "b")
       .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
       .select(col("a"), col("b"),
@@ -203,17 +216,26 @@ object TextOps {
   }
 
   /** SimHash-64 over tokens: per bit, sign of sum over tokens of
-    * (bit(xxhash64(token)) ? +1 : -1). Spark-native (xxhash64 has no
-    * DuckDB twin -> rows-only oracle). */
+    * (bit(hash64(token)) ? +1 : -1). The 64 token-hash bits are the
+    * first 16 hex nibbles of md5(token) (bit i = bit i%4 of nibble i/4)
+    * — hash choice is arbitrary by construction, and md5 has an exact
+    * DuckDB twin, so the oracle is hash-exact cross-engine (xxhash64,
+    * used in round 2, has none). */
   def simhash(documents: DataFrame): DataFrame = {
     val exploded = documents
       .select(col("doc_id").cast("long").as("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i"))
-    val agg = exploded.groupBy(col("doc_id"))
+      .withColumn("hx", md5(col("t")))
+    // 16 nibble values (0..15), one per hex char of the first half
+    val withNibbles = exploded.select(
+      col("doc_id") +: (0 until 16).map(j =>
+        conv(substring(col("hx"), j + 1, 1), 16, 10).cast("int")
+          .as(s"nb$j")): _*)
+    val bitSums = (0 until 64).map { i =>
+      val bit = shiftright(col(s"nb${i / 4}"), i % 4).bitwiseAND(1)
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = withNibbles.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map(i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
@@ -235,7 +257,7 @@ object TextOps {
     * collides into near-all-pairs buckets at corpus scale — the 4x16
     * banding is the deliberate precision/recall/cost point. */
   def simhashNearDupPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val sig = simhash(documents).persist()
+    val sig = graft.pipeline.Caches.tracked(simhash(documents))
     val bands = (0 until 4).map { i =>
       val band = shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)
       val l = sig.select(col("doc_id").as("a"), col("simhash").as("sa"),
@@ -251,7 +273,9 @@ object TextOps {
   }
 
   /** Token-level rolling-hash document fingerprint (winnowing-lite):
-    * min of xxhash64 over every w-token shingle. */
+    * min of md5 over every w-token shingle (hex-string min — the same
+    * engine-neutral construction as the minhash slots, so the oracle is
+    * hash-exact; the hash choice is arbitrary by construction). */
   def fingerprint(documents: DataFrame, w: Int = 3): DataFrame = {
     val toks = tokens(col("text"))
     val n = size(toks)
@@ -259,6 +283,6 @@ object TextOps {
       sequence(lit(0), greatest(n - w, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(w))))
     documents.select(col("doc_id").cast("long").as("doc_id"),
-      array_min(transform(shingles, s => xxhash64(s))).as("fingerprint"))
+      array_min(transform(shingles, s => md5(s))).as("fingerprint"))
   }
 }
