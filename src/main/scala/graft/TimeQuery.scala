@@ -25,6 +25,9 @@ object TimeQuery {
       df.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[time] $name: $secs%.2f s")
+      // same per-query isolation as Bench: no cross-query cache carryover
+      graft.pipeline.Caches.release()
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -151,10 +151,21 @@ object RelationClassifier {
       s"Unknown classifier '$classifier'; valid: " +
         validClassifiers.mkString(", ") +
         " (reference relation_extraction_classifier.py:12-18)")
-    val classes = labeled.select(countDistinct(col("label"))).head.getLong(0)
+    val stats = labeled
+      .agg(countDistinct(col("label")), count(lit(1))).head()
+    val classes = stats.getLong(0)
+    val nRows = stats.getLong(1)
     require(classes == 2,
       s"Can't train classifier with $classes classes; need 2")
-    var df = Features.withDefaultFeatures(labeled)
+    // Right-size TRAINING partitioning to the data: the labeled set is
+    // human-annotation-bounded, while the iterative optimizers schedule
+    // one job per L-BFGS step — at the session's default parallelism a
+    // 200-row fit measured 5x slower than single-partition (50-150 tiny
+    // jobs x 8 near-empty tasks of pure scheduling overhead). ~20k rows
+    // per training partition keeps big label sets parallel; scoring
+    // (transform) keeps the caller's partitioning untouched.
+    val trainParts = math.max(1L, math.min(nRows / 20000 + 1, 64L)).toInt
+    var df = Features.withDefaultFeatures(labeled.coalesce(trainParts))
       .withColumn("y", col("label").cast("double"))
     val vectorizers = bagCols.map { c =>
       new CountVectorizer().setInputCol(c).setOutputCol(c + "_vec")

@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata.
   *
   * The Spark-side plumbing — schema, partitioning, batch-shaped
-  * per-partition processing, feature schema — is real and tested. The
-  * actual media DECODE is a clearly-marked deterministic stub
-  * ([[StubCodecs]]): this container ships no image/audio libraries, so
-  * the stub derives bytes->features deterministically (content hash) with
-  * the same shapes a real codec would produce. Swap [[StubCodecs]] for a
-  * JNI/javacv-backed implementation without touching the pipeline.
+  * per-partition processing, feature schema — is real and tested. IMAGE
+  * decode is also real ([[Codecs.decodeImage]], `javax.imageio` from the
+  * JDK: true pixel dimensions + a pixel-derived luminance embedding).
+  * AUDIO/VIDEO decode remain clearly-marked deterministic stubs
+  * ([[StubCodecs]]): this container ships no audio/video codec
+  * libraries, so the stubs derive bytes->features deterministically
+  * (content hash) with the same shapes a real codec would produce. Swap
+  * [[StubCodecs]] for a JNI/javacv-backed implementation without
+  * touching the pipeline.
   */
 object MultimodalOps {
 
@@ -36,9 +39,67 @@ object MultimodalOps {
   final case class FrameSample(
       asset_id: Long, frame_index: Int, frame_bytes: Array[Byte])
 
-  /** === STUB === deterministic stand-ins for real codecs. A production
-    * build replaces these bodies with actual decode calls; signatures and
-    * output shapes are the contract. */
+  /** Real codecs where the JDK ships one. Image decode is REAL
+    * (`javax.imageio` handles PNG/JPEG/GIF/BMP with zero extra deps):
+    * actual pixel dimensions, channel count, and a 16-dim grid-luminance
+    * embedding from decoded pixels. Bytes that no registered reader
+    * understands fall back to [[StubCodecs]] so synthetic/bench corpora
+    * keep working — the fallback is the exception path, not the design. */
+  object Codecs extends Serializable {
+    /** Decode + featurize an image: (width, height, channels) from the
+      * decoded raster, embedding = 4x4 grid of mean luminance (each cell
+      * sampled on a bounded <=8x8 lattice so cost is O(1) per cell
+      * regardless of image size — deterministic, no RNG). */
+    def decodeImage(bytes: Array[Byte],
+        meta: Map[String, String]): ImageFeatures = {
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) StubCodecs.decodeImage(bytes, meta)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val ch = img.getColorModel.getNumComponents
+        val emb = new Array[Float](16)
+        var gy = 0
+        while (gy < 4) {
+          var gx = 0
+          while (gx < 4) {
+            val x0 = gx * w / 4
+            val x1 = math.max(x0 + 1, (gx + 1) * w / 4)
+            val y0 = gy * h / 4
+            val y1 = math.max(y0 + 1, (gy + 1) * h / 4)
+            val sx = math.max(1, (x1 - x0) / 8)
+            val sy = math.max(1, (y1 - y0) / 8)
+            var sum = 0.0
+            var n = 0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000.0
+                n += 1
+                x += sx
+              }
+              y += sy
+            }
+            emb(gy * 4 + gx) = (sum / n / 255.0).toFloat
+            gx += 1
+          }
+          gy += 1
+        }
+        ImageFeatures(-1, w, h, ch, emb)
+      }
+    }
+  }
+
+  /** === STUB === deterministic stand-ins for codecs the JDK does NOT
+    * ship (audio MFCC, video frames) plus the fallback for undecodable
+    * image bytes. A production build replaces these bodies with actual
+    * decode calls; signatures and output shapes are the contract. */
   object StubCodecs extends Serializable {
     private def h(bytes: Array[Byte], salt: Int): Long = {
       var x = 1125899906842597L + salt
@@ -74,9 +135,10 @@ object MultimodalOps {
     assets.filter(_.modality == "image")
       .repartition(col("asset_id"))
       .mapPartitions { it =>
-        // real impl: init decoder/model ONCE here
+        // codec init amortizes ONCE per partition (ImageIO scans its
+        // reader registry lazily; first decode in the JVM pays it)
         it.map { a =>
-          StubCodecs.decodeImage(a.bytes, a.meta).copy(asset_id = a.asset_id)
+          Codecs.decodeImage(a.bytes, a.meta).copy(asset_id = a.asset_id)
         }
       }
   }

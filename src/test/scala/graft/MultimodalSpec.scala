@@ -2,9 +2,9 @@ package graft
 
 import graft.multimodal.MultimodalOps
 
-/** Multimodal plumbing: schemas, batch shape, determinism. Decode is a
-  * documented stub (no media libs in this container); the Spark-side
-  * contract is what's under test. */
+/** Multimodal plumbing: schemas, batch shape, determinism. Image decode
+  * is REAL (javax.imageio — see the PNG round-trip test); audio/video
+  * decode remain documented stubs (no codec libs in this container). */
 class MultimodalSpec extends SparkSpec {
 
   test("synthetic assets are deterministic and modality-partitioned") {
@@ -26,6 +26,48 @@ class MultimodalSpec extends SparkSpec {
       MultimodalOps.syntheticAssets(spark, 30)).collect()
     assert(feats.sortBy(_.asset_id).zip(again.sortBy(_.asset_id))
       .forall { case (x, y) => x.embedding.sameElements(y.embedding) })
+  }
+
+  test("real PNG bytes decode through ImageIO: true dims + pixel-derived embedding") {
+    // build an actual encoded PNG in memory: 32x16, left half black,
+    // right half white
+    val img = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+
+    // direct decode: real dimensions (NOT the meta defaults), luminance
+    // embedding dark on the left half, light on the right
+    val f = MultimodalOps.Codecs.decodeImage(png, Map.empty)
+    assert(f.width == 32 && f.height == 16 && f.channels == 3)
+    assert(f.embedding.length == 16)
+    for (row <- 0 until 4) {
+      assert(f.embedding(row * 4) < 0.1,
+        s"left cells should be dark: ${f.embedding.toSeq}")
+      assert(f.embedding(row * 4 + 3) > 0.9,
+        s"right cells should be light: ${f.embedding.toSeq}")
+    }
+
+    // through the Spark batch path: same values, asset_id attached
+    import spark.implicits._
+    val assets = Seq(MultimodalOps.Asset(7L, 1L, "image", png,
+      Map("width" -> "999", "height" -> "999"))).toDS()
+    val viaSpark = MultimodalOps.imageFeatures(spark, assets).collect()
+    assert(viaSpark.length == 1)
+    assert(viaSpark.head.asset_id == 7L)
+    assert(viaSpark.head.width == 32 && viaSpark.head.height == 16)
+    assert(viaSpark.head.embedding.sameElements(f.embedding))
+  }
+
+  test("undecodable bytes fall back to the documented stub (meta-driven dims)") {
+    val junk = Array.fill[Byte](256)(42)
+    val f = MultimodalOps.Codecs.decodeImage(junk,
+      Map("width" -> "64", "height" -> "48"))
+    assert(f.width == 64 && f.height == 48)
+    assert(f.embedding.length == 16)
   }
 
   test("audio features carry sample-rate metadata and 13 MFCC slots") {

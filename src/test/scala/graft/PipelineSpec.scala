@@ -77,6 +77,34 @@ class PipelineSpec extends SparkSpec {
     assert(prf.recall >= 0.95, s"recall ${prf.recall}")
   }
 
+  test("pair cap is observable end-to-end: truncated_segments lands in the manifest") {
+    import spark.implicits._
+    val sf = 0.0003
+    // a normal generated doc (so the run emits real triples) plus one
+    // pathological line: 17 gazette-known functions in one sentence ->
+    // 17*17-17 = 272 potential calls-pairs > MaxPairsPerSegment (256)
+    val g = CorpusGen.genOne(sf, 42L, 0L)
+    assert(g.facts.nonEmpty)
+    val pathological =
+      (0 until 17).map(CorpusGen.funName).mkString(" ")
+    val raw = Seq(graft.schema.RawDoc(g.repo, g.path, g.commit, g.lang,
+      g.content + "\n" + pathological)).toDS()
+    val h = Pipeline.runWithMetrics(spark, raw, CorpusGen.gazette(sf))
+    val nTriples = h.triples.count() // final action -> accumulator valid
+    assert(nTriples > 0)
+    assert(h.truncatedSegments.value >= 1,
+      "the 272-pair segment must be counted as truncated")
+    val out = java.nio.file.Files.createTempDirectory("graft_trunc")
+      .toString
+    Pipeline.materialize(spark, h.triples, out,
+      metrics = Map("truncated_segments" -> h.truncatedSegments.value))
+    val json = graft.pipeline.Fs.readString(s"$out/_manifest/metrics.json")
+    assert(json.contains(
+      s""""truncated_segments":${h.truncatedSegments.value}"""),
+      s"metrics.json must carry the cap count, got: $json")
+    h.cleanup()
+  }
+
   test("pipeline is idempotent: second run emits the identical triple set") {
     val sf = 0.0003
     val raw = CorpusGen.rawDocs(spark, sf)
