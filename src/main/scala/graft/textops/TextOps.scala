@@ -193,7 +193,8 @@ object TextOps {
     * [[jaccardOfPairs]] but over the set of w-token shingles instead of
     * unigrams — order-sensitive, so reshuffled near-dups score lower
     * than bag-of-words Jaccard. Same join shape: shingle sets pre-hashed
-    * to longs, dimension side broadcast, |union| from sizes. */
+    * to longs, dimension side AQE-decided (see [[dimSide]]), |union|
+    * from sizes. */
   def ngramJaccardOfPairs(documents: DataFrame, pairs: DataFrame,
       w: Int = 3): DataFrame = {
     val toks = tokens(col("text"))
