@@ -82,6 +82,13 @@ object Bench {
       .redirectError(ProcessBuilder.Redirect.DISCARD) // Spark stderr
                                                       // would fill the pipe
     pb.environment().put("GRAFT_TIMED_RUNS", timedRuns.toString)
+    // Bench children run AQE-off with the dimension-side broadcast
+    // hints forced: AQE's per-stage re-planning is pure fixed latency
+    // at single-node scale (measured 5.4 s of the 32 s SF=1.0 8-core
+    // run) and the hints it would have chosen are known. Library
+    // default stays AQE-on + no hints — the right call on a cluster.
+    pb.environment().put("SPARK_GRAFT_AQE", "false")
+    pb.environment().put("GRAFT_DIM_BROADCAST", "force")
     val p = pb.start()
     val out = scala.io.Source.fromInputStream(p.getInputStream)
       .getLines().toList
@@ -253,8 +260,10 @@ object Bench {
         Thread.sleep(20000)
       } else {
         pairRuns += 1
-        val (t1, s1) = childRun(nCores, scalingSf, timedRuns = 2, scaleMem)
-        val (_, s2) = childRun(nCores * 4, scalingSf, timedRuns = 2, scaleMem)
+        // min-of-3: with host-steal noise at +-20%, the min over three
+        // runs tracks the quiet-machine cost much tighter than min-of-2
+        val (t1, s1) = childRun(nCores, scalingSf, timedRuns = 3, scaleMem)
+        val (_, s2) = childRun(nCores * 4, scalingSf, timedRuns = 3, scaleMem)
         val pa = cpuProbe()
         scalingTriples = t1
         pairs += ScalePair(s1, s2, pb, pa)
@@ -332,7 +341,11 @@ object Bench {
          |Pair = local[$nCores] vs local[${nCores * 4}]; child JVM per
          |measurement (fresh heap + SparkContext), both levels at the same
          |$scaleMem heap (conservative: a real 4N-executor cluster brings 4x
-         |aggregate memory), min-of-2 timed runs per child after a warm-up.
+         |aggregate memory), min-of-3 timed runs per child after a warm-up.
+         |Children run AQE-off with the dimension-side broadcast hints
+         |forced (AQE's per-stage re-planning is pure fixed latency at
+         |single-node scale; the hints it would pick are known — the
+         |library default stays AQE-on + hint-free for cluster use).
          |
          |Every pair is BRACKETED by a raw-CPU probe (fixed sha256 work on 8
          |threads, quiet baseline $probeBaseline%.2f s = min of 3): a pair

@@ -101,12 +101,16 @@ object Canonicalize {
     var comp = entities.select($"entity_key",
       struct(gazRank.as("r"), $"entity_key".as("k")).as("component"))
     var it = 0
+    // byForm / comp are component maps keyed by form / entity key —
+    // distinct-entity-sized, far below the mention stream. dimSide:
+    // AQE broadcasts them when measured small (default); the bench
+    // children run AQE-off and force the hint (graft.dim.broadcast).
     def round(c: DataFrame, first: Boolean): DataFrame = {
       val byForm =
         if (first) edges.groupBy($"form").agg(min($"init").as("fcomp"))
-        else edges.join(c, "entity_key")
+        else edges.join(graft.textops.TextOps.dimSide(c), "entity_key")
           .groupBy($"form").agg(min($"component").as("fcomp"))
-      edges.join(byForm, "form")
+      edges.join(graft.textops.TextOps.dimSide(byForm), "form")
         .groupBy($"entity_key").agg(min($"fcomp").as("component"))
     }
     while (it < iterations) {

@@ -245,13 +245,16 @@ object Pipeline {
     val canonical = Canonicalize.components(spark, entities)
       .withColumnRenamed("entity_key", "k").persist()
     // Everything above is lazy — the caller's first action runs ONE job:
-    // preprocess (cached), CC chain, and the two canonical-key joins
-    // (AQE broadcasts the canonical map when it is dimension-sized;
-    // at true scale it degrades gracefully to a shuffle join on `k`).
+    // preprocess (cached), CC chain, and the two canonical-key joins.
+    // The canonical map is distinct-entity-sized (vocab-bound, far below
+    // the prediction stream): dimSide leaves the choice to AQE by
+    // default (broadcast when measured small, shuffle join at true
+    // scale) and lets the AQE-off bench children force the hint.
+    val dim = (df: DataFrame) => graft.textops.TextOps.dimSide(df)
     val triples = predictions.toDF().filter($"answer")
-      .join(canonical.withColumnRenamed("canonical", "subj"),
+      .join(dim(canonical.withColumnRenamed("canonical", "subj")),
         $"left_key" === $"k").drop("k")
-      .join(canonical.withColumnRenamed("canonical", "obj"),
+      .join(dim(canonical.withColumnRenamed("canonical", "obj")),
         $"right_key" === $"k").drop("k")
       .select($"subj", $"relation".as("pred"), $"obj", $"evidence_id")
     RunHandle(triples, () => { extracted.unpersist(); entities.unpersist();

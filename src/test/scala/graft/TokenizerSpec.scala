@@ -98,4 +98,38 @@ class TokenizerSpec extends AnyFunSuite {
     assert(tk.sentences.toSeq == tk.sentences.toSeq.distinct.sorted)
     assert(tk.sentences.length == 3)
   }
+
+  test("fast path == full-regex oracle on corpus + adversarial inputs") {
+    val adversarial = Seq(
+      "plain words here", "snake_case_name and CamelCase mixed",
+      "a.b@host.com mailto:x@y.z http://foo.bar/baz?q=1",
+      "meet at 12:30 or 2:5:59 on 12/25/2020 or 1-2-99",
+      "don't can't've o'clock John's y'all'd've word's",
+      "compound-word multi-part-token a_b-c mixed_under-dash",
+      "AT&T r&d a&b&c", "x( 8) :-D xD XP =) ;o| 8-D",
+      "3.14 1,000 50% #tag [a](b) {c} <d> e=f g+h i*j",
+      "www.example.org example.co.uk:8080 git://host/path",
+      "trailing. dots.. ellipsis... mid.dle",
+      "quote''s ``quoted'' \"double\" 'single'",
+      "tabs\tand  double  spaces\nnewlines",
+      "unicode caf\u00e9 na\u00efve \u00fcber zh\u00f4ng",
+      "e.g. i.e. Mr. Smith vs. Dr. No",
+      "!bang !!double ?q ?? end!", "_lead _under_ trail_",
+      "123abc abc123 1a2b3c", "a", "Z", "9", "_", "", " ", "  ",
+      "edge'", "'edge", "edge-", "-edge", "edge&", "&edge",
+      "edge.", ".edge", "edge:", ":edge", "edge@", "@edge")
+    val corpus = (0 until 100).map(i =>
+      graft.corpus.CorpusGen.genOne(0.001, 42L, i.toLong).content)
+    (adversarial ++ corpus).foreach { text =>
+      // compare at the sentence level (tokenizeSentence is where the
+      // fast path lives)
+      Tokenizer.sentenceSpans(text).foreach { case (i, j) =>
+        val sent = text.substring(i, j)
+        val fast = Tokenizer.tokenizeSentence(sent)
+        val oracle = Tokenizer.tokenizeSentenceRegexOnly(sent)
+        assert(fast == oracle,
+          s"fast-path divergence on sentence: [$sent]\n fast=$fast\n orac=$oracle")
+      }
+    }
+  }
 }
