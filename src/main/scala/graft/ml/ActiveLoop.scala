@@ -36,6 +36,9 @@ object ActiveLoop {
       answersPerRound: Int = 10,
       tradeoff: Option[(Double, Double)] = None): Seq[RoundResult] = {
     val labelsPath = s"$workDir/labels"
+    // a crash between swapInto's rename-aside and rename-into-place can
+    // leave only labels_old on disk — restore before any read
+    graft.pipeline.Fs.recoverSwap(labelsPath)
     if (!graft.pipeline.Fs.exists(labelsPath))
       seedLabels.write.mode("overwrite").parquet(labelsPath)
 
@@ -59,9 +62,14 @@ object ActiveLoop {
         spark.read.parquet(qPath)
           .orderBy(col("uncertainty").asc, col("evidence_id").asc)
           .limit(answersPerRound))
+      // NEWEST WINS: a re-answer of an already-labeled evidence replaces
+      // the stored label (anti-join the old table against the answers,
+      // then append the answers) — dropDuplicates kept an arbitrary row
+      val newAnswers = answers.select(col("evidence_id"), col("label"))
       val updated = spark.read.parquet(labelsPath)
-        .unionByName(answers.select(col("evidence_id"), col("label")))
-        .dropDuplicates("evidence_id")
+        .join(newAnswers.select(col("evidence_id")),
+          Seq("evidence_id"), "left_anti")
+        .unionByName(newAnswers)
       val tmp = labelsPath + "_tmp"
       updated.write.mode("overwrite").parquet(tmp)
       graft.pipeline.Fs.swapInto(tmp, labelsPath)

@@ -130,19 +130,6 @@ object Pipeline {
     }
   }
 
-  /** Entity table from mentions: one row per distinct entity key
-    * (anaphora occurrences excluded — pronoun aliases must never become
-    * CC surface forms). */
-  def entityTable(spark: SparkSession, bundles: Dataset[DocBundle]): DataFrame = {
-    import spark.implicits._
-    bundles.flatMap(_.mentions.filter(!_.anaphora))
-      .groupBy($"entity_key")
-      .agg(
-        first($"kind").as("kind"),
-        min($"alias").as("alias"),
-        max($"from_gazette").as("from_gazette"))
-  }
-
   /** One doc's extraction output — only what downstream stages need.
     * Token arrays and segments stay inside the fused map and are never
     * cached or shuffled (at 100 TB the doc text never leaves the scan

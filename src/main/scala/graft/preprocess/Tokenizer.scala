@@ -179,7 +179,12 @@ object Tokenizer {
     var m: java.util.regex.Matcher = null
     while (i < n) {
       val c = sentence.charAt(i)
-      if (Character.isWhitespace(c)) i += 1
+      // U+001C..U+001F: Character.isWhitespace says yes, but Unicode
+      // White_Space says No — so the regex's \S+ tail treats them as
+      // token characters. Don't skip them here; fall through to the
+      // regex so "a<FS>b" tokenizes [a, <FS>b] on both paths.
+      if (Character.isWhitespace(c) && (c < '\u001C' || c > '\u001F'))
+        i += 1
       else {
         var handled = false
         if (c < 128 && (Character.isLetterOrDigit(c) || c == '_')) {

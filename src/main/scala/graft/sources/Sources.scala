@@ -89,6 +89,8 @@ object Sources {
       lit(judge).as("judge"),
       lit(true).as("by_machine"),
       lit(runTs).as("modification_ts"))
+    // restore a table lost to a crash mid-swap before probing existence
+    graft.pipeline.Fs.recoverSwap(dir)
     val merged =
       if (graft.pipeline.Fs.exists(dir)) {
         val existing = spark.read.parquet(dir)

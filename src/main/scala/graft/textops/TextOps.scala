@@ -173,10 +173,15 @@ object TextOps {
     // one PAIR to collide (~600 values in a 2^64 space, ~1e-14/pair) —
     // far below the corpus-level md5-dedup noise floor, and the oracle
     // stays string-exact.
-    val docTok = documents.select(col("doc_id").cast("long").as("doc_id"),
-      transform(array_distinct(tokens(col("text"))), t => xxhash64(t))
-        .as("toks"))
-      .withColumn("n", size(col("toks")))
+    // the hashed-token table is derived once but joined TWICE (a and b
+    // sides) — without a persist each side recomputes the full text scan
+    // + tokenize + hash (measured ~2x on the verify stage). Tracked like
+    // the band table in lshCandidatePairs; Caches.release() unpersists.
+    val docTok = graft.pipeline.Caches.tracked(
+      documents.select(col("doc_id").cast("long").as("doc_id"),
+        transform(array_distinct(tokens(col("text"))), t => xxhash64(t))
+          .as("toks"))
+        .withColumn("n", size(col("toks"))))
     pairs
       .join(dimSide(docTok.select(col("doc_id").as("a"),
         col("toks").as("ta"), col("n").as("na"))), "a")
@@ -202,8 +207,12 @@ object TextOps {
     val shingles = array_distinct(transform(
       sequence(lit(0), greatest(n - w, lit(0))),
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w))))))
-    val docSh = documents.select(col("doc_id").cast("long").as("doc_id"),
-      shingles.as("sh")).withColumn("n", size(col("sh")))
+    // persisted for the same reason as docTok in [[jaccardOfPairs]]:
+    // shingling (w slices + hash per token position) is the most
+    // expensive dimension derivation in the suite and feeds both sides
+    val docSh = graft.pipeline.Caches.tracked(
+      documents.select(col("doc_id").cast("long").as("doc_id"),
+        shingles.as("sh")).withColumn("n", size(col("sh"))))
     pairs
       .join(dimSide(docSh.select(col("doc_id").as("a"),
         col("sh").as("sa"), col("n").as("na"))), "a")

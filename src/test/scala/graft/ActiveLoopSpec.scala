@@ -38,5 +38,20 @@ class ActiveLoopSpec extends SparkSpec {
       maxRounds = 1, answersPerRound = 4)
     assert(r2.head.nLabeled >= r1.head.nLabeled)
     assert(spark.read.parquet(s"$dir/labels").count() == r2.head.nLabeled)
+
+    // NEWEST WINS: an annotator re-answering an already-labeled evidence
+    // flips its stored label instead of keeping an arbitrary duplicate
+    val target = evidences.head._1.evidence_id
+    val before = spark.read.parquet(s"$dir/labels")
+      .where($"evidence_id" === target).select("label")
+      .as[Boolean].head()
+    val flipOracle = (_: org.apache.spark.sql.DataFrame) =>
+      Seq((target, !before)).toDF("evidence_id", "label")
+    ActiveLoop.run(spark, dir, candidates, seed, flipOracle,
+      maxRounds = 1, answersPerRound = 1)
+    val after = spark.read.parquet(s"$dir/labels")
+      .where($"evidence_id" === target)
+    assert(after.count() == 1)
+    assert(after.select("label").as[Boolean].head() == !before)
   }
 }

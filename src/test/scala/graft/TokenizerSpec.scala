@@ -117,7 +117,13 @@ class TokenizerSpec extends AnyFunSuite {
       "!bang !!double ?q ?? end!", "_lead _under_ trail_",
       "123abc abc123 1a2b3c", "a", "Z", "9", "_", "", " ", "  ",
       "edge'", "'edge", "edge-", "-edge", "edge&", "&edge",
-      "edge.", ".edge", "edge:", ":edge", "edge@", "@edge")
+      "edge.", ".edge", "edge:", ":edge", "edge@", "@edge",
+      // U+001C..U+001F: isWhitespace=true but Unicode White_Space=No —
+      // the regex's \S+ treats them as token chars; the fast path must
+      // not skip them as whitespace
+      "a\u001Cb", "a\u001Db", "a\u001Eb", "a\u001Fb",
+      "\u001Cx", "x\u001C", "a \u001C b", "\u001C\u001D\u001E\u001F",
+      "word\u001Cword\u001Dword", "1\u001E2", "a\u000Bb", "a\u0085b")
     val corpus = (0 until 100).map(i =>
       graft.corpus.CorpusGen.genOne(0.001, 42L, i.toLong).content)
     (adversarial ++ corpus).foreach { text =>
