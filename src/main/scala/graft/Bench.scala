@@ -165,6 +165,9 @@ object Bench {
     * seconds. The labeled set is annotation-scale by construction — the
     * round's cost is dominated by the 5-fold CV fits and the sample
     * scoring, which is what this number tracks. */
+  private[graft] def alRoundSecForDev(spark: SparkSession): Double =
+    alRoundSec(spark)
+
   private def alRoundSec(spark: SparkSession): Double = {
     import spark.implicits._
     val labeled = spark.range(200)

@@ -60,6 +60,18 @@ object RunPipeline {
     }
     val t0 = System.nanoTime()
     val raw = CorpusGen.rawDocs(spark, sf)
+    // opt-in per-doc checkpointed extract: a killed run resumes from the
+    // committed batches instead of starting over
+    sys.env.get("GRAFT_CHECKPOINT_DIR").foreach { ckptDir =>
+      val r = Pipeline.runCheckpointed(spark, raw,
+        CorpusGen.gazette(sf), ckptDir)
+      val n = r.triples.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"sf":$sf,"cores":"$cores","docs":${CorpusGen.numDocs(sf)},"triples":$n,"seconds":$secs%.2f,"checkpoint_dir":"$ckptDir","new_extract_batch":${r.newExtractBatch.map(b => s""""$b"""").getOrElse("null")}}""")
+      r.cleanup()
+      spark.stop()
+      return
+    }
     val run = Pipeline.runWithMetrics(spark, raw, CorpusGen.gazette(sf))
     val triples = run.triples
     val nTriples = triples.count()

@@ -32,3 +32,49 @@ object TimeQuery {
     spark.stop()
   }
 }
+
+/** Dev utility: time one active-learning round (the same workload Bench
+  * reports as al_round_sec) without running the whole bench. */
+object TimeAl {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    (1 to 2).foreach { i =>
+      val secs = Bench.alRoundSecForDev(spark)
+      println(f"[time] al_round (run $i): $secs%.2f s")
+    }
+    // component breakdown
+    import org.apache.spark.sql.functions.{col => c}
+    import spark.implicits._
+    val labeled = spark.range(200)
+      .map(i => (Bench.alEvidence(i, i % 2 == 0), i % 2 == 0))
+      .toDF("e", "label").select(c("e.*"), c("label"))
+    val unlabeled = spark.range(200, 20200)
+      .map(i => Bench.alEvidence(i, i % 2 == 0)).toDF()
+    labeled.count(); unlabeled.count()
+    def tt[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val thr = tt("estimateThreshold")(graft.ml.ActiveLearning
+      .estimateThreshold(spark, labeled,
+        graft.ml.ActiveLearning.HighPrecisionTradeoff))
+    println(s"[time] threshold=$thr")
+    val m = tt("final fit")(graft.ml.RelationClassifier.fit(labeled, "svc"))
+    tt("transform+rank 20k")(
+      m.transform(unlabeled)
+        .withColumn("uncertainty", org.apache.spark.sql.functions.abs(c("margin")))
+        .orderBy(c("uncertainty").asc, c("evidence_id").asc)
+        .write.format("noop").mode("overwrite").save())
+
+    spark.stop()
+  }
+}

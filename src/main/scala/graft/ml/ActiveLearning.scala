@@ -46,10 +46,20 @@ object ActiveLearning {
     if (classes < 2)
       return (State(None, None, None), unlabeled.limit(0))
 
-    val threshold = tradeoff.flatMap { t =>
-      estimateThreshold(spark, labeled, t, classifier, seed)
+    // threshold CV and the final fit are independent — run them
+    // concurrently (Spark schedules jobs from multiple driver threads
+    // freely; per-iteration job latency, not compute, dominates these
+    // tiny fits, so overlap nearly halves the round's wall time)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val thresholdF = Future {
+      tradeoff.flatMap { t =>
+        estimateThreshold(spark, labeled, t, classifier, seed)
+      }
     }
     val model = RelationClassifier.fit(labeled, classifier)
+    val threshold = Await.result(thresholdF, Duration.Inf)
 
     // rank a random sample of min(10*|labeled|, |unlabeled|)  (:215-227).
     // Seeded Bernoulli sample() + limit, NOT orderBy(rand).limit: the
@@ -117,8 +127,11 @@ object ActiveLearning {
     if (perClass.length < 2 || perClass.min < 5) return None
 
     // stratified folds: row_number per class (deterministic order) mod 5
+    // persisted POST-featurization: the (pure Catalyst but wide) feature
+    // pass is computed once here instead of once per fold fit/transform
+    // (2x5+... plans) — measured ~2x on the AL round
     val w = Window.partitionBy(col("label")).orderBy(col("evidence_id"))
-    val folded = labeled
+    val folded = graft.features.Features.withDefaultFeatures(labeled)
       .withColumn("fold", (row_number().over(w) - 1) % 5)
       .persist()
     folded.count()

@@ -126,10 +126,19 @@ object RelationClassifier {
     }
   }
 
+  /** Featurize unless the caller already did: the C7 threshold CV runs
+    * 6 fits over one persisted post-feature table — recomputing the
+    * (pure but wide) Catalyst feature pass per fold was the dominant
+    * AL-round cost. Presence of the first feature column is the
+    * already-featurized signal (withDefaultFeatures adds all or none). */
+  private def featurized(evidence: DataFrame): DataFrame =
+    if (evidence.columns.contains("f_bag_of_words")) evidence
+    else Features.withDefaultFeatures(evidence)
+
   /** Shared featurization: bags -> vectors -> inner margin -> dense
     * assembly -> scaling. */
   private def scaledFeatures(m: Model, evidence: DataFrame): DataFrame = {
-    var df = Features.withDefaultFeatures(evidence)
+    var df = featurized(evidence)
     m.vectorizers.foreach(v => df = v.transform(df))
     df = new VectorAssembler()
       .setInputCols(bagCols.map(_ + "_vec").toArray)
@@ -165,20 +174,29 @@ object RelationClassifier {
     // per training partition keeps big label sets parallel; scoring
     // (transform) keeps the caller's partitioning untouched.
     val trainParts = math.max(1L, math.min(nRows / 20000 + 1, 64L)).toInt
-    var df = Features.withDefaultFeatures(labeled.coalesce(trainParts))
+    var df = featurized(labeled.coalesce(trainParts))
       .withColumn("y", col("label").cast("double"))
+    // vocab cap: a memory guard, not a semantic knob — annotation-bounded
+    // label sets sit far below it; a corpus-sized vocabulary would blow
+    // the driver-held CountVectorizerModel otherwise
     val vectorizers = bagCols.map { c =>
       new CountVectorizer().setInputCol(c).setOutputCol(c + "_vec")
-        .setBinary(true).fit(df)
+        .setBinary(true).setVocabSize(1 << 16).fit(df)
     }
     vectorizers.foreach(v => df = v.transform(df))
     df = new VectorAssembler()
       .setInputCols(bagCols.map(_ + "_vec").toArray)
       .setOutputCol("sparse_features").transform(df)
+    // tol 1e-3 mirrors the reference's own optimizer defaults (sklearn
+    // SGDClassifier tol=1e-3 for the inner ClassifierAsFeature, SVC
+    // tol=1e-3 for the final stage); Spark's 1e-6 default is stricter
+    // than the semantics being mirrored and costs ~2x the L-BFGS
+    // iterations — each a scheduled job — for margins identical to 3+
+    // decimals on annotation-scale data
     val innerSvc = new LinearSVC().setFeaturesCol("sparse_features")
       .setLabelCol("y").setPredictionCol("svcPrediction")
       .setRawPredictionCol("svcRaw")
-      .setMaxIter(50).setRegParam(0.01).fit(df)
+      .setMaxIter(50).setRegParam(0.01).setTol(1e-3).fit(df)
     df = innerSvc.transform(df)
       .withColumn("inner_margin",
         vector_to_array(col("svcRaw")).getItem(1))
@@ -201,6 +219,7 @@ object RelationClassifier {
           .setLabelCol("y").setPredictionCol("finalPred")
           .setRawPredictionCol("finalRaw")
           .setMaxIter(100).setRegParam(1e-4).setStandardization(false)
+          .setTol(1e-3) // sklearn SGDClassifier default tol
           .fit(df), fromProbability = false)
       case "randomforest" =>
         MlStage(new RandomForestClassifier()
@@ -224,7 +243,7 @@ object RelationClassifier {
         MlStage(new LinearSVC().setFeaturesCol("scaled_features")
           .setLabelCol("y").setPredictionCol("finalPred")
           .setRawPredictionCol("finalRaw")
-          .setMaxIter(100).setRegParam(0.01).fit(df),
+          .setMaxIter(100).setRegParam(0.01).setTol(1e-3).fit(df),
           fromProbability = false)
     }
     Model(vectorizers, innerSvc, scaler, classifier, finalStage)

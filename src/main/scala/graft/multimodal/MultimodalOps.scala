@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partitioning, batch-shaped
   * per-partition processing, feature schema — is real and tested. IMAGE
-  * decode is also real ([[Codecs.decodeImage]], `javax.imageio` from the
+  * decode is real ([[Codecs.decodeImage]], `javax.imageio` from the
   * JDK: true pixel dimensions + a pixel-derived luminance embedding).
-  * AUDIO/VIDEO decode remain clearly-marked deterministic stubs
-  * ([[StubCodecs]]): this container ships no audio/video codec
-  * libraries, so the stubs derive bytes->features deterministically
-  * (content hash) with the same shapes a real codec would produce. Swap
-  * [[StubCodecs]] for a JNI/javacv-backed implementation without
-  * touching the pipeline.
+  * AUDIO decode is real for formats the JDK parses
+  * ([[Codecs.decodeAudio]], `javax.sound.sampled`: WAV/AIFF/AU PCM —
+  * true sample rate + frame count + a Goertzel band-energy feature).
+  * VIDEO decode (and compressed-audio formats like MP3) remain
+  * clearly-marked deterministic stubs ([[StubCodecs]]): this container
+  * ships no video codec libraries, so the stubs derive bytes->features
+  * deterministically (content hash) with the same shapes a real codec
+  * would produce. Swap [[StubCodecs]] for a JNI/javacv-backed
+  * implementation without touching the pipeline.
   */
 object MultimodalOps {
 
@@ -94,6 +97,75 @@ object MultimodalOps {
         ImageFeatures(-1, w, h, ch, emb)
       }
     }
+
+    /** Decode + featurize audio the JDK can parse (WAV/AIFF/AU PCM via
+      * `javax.sound.sampled` — no external codec libs): real sample
+      * rate, real frame count, and a 13-band Goertzel spectral-energy
+      * vector (the MFCC-slot analog) over a bounded window, so cost per
+      * asset is O(window), not O(duration). Bytes no installed reader
+      * understands (e.g. MP3) fall back to [[StubCodecs]]. */
+    def decodeAudio(bytes: Array[Byte],
+        meta: Map[String, String]): AudioFeatures = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais =
+        try AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (ais == null) StubCodecs.decodeAudio(bytes, meta)
+      else try {
+        val fmt = ais.getFormat
+        val nFrames = ais.getFrameLength.toInt
+        val sr = fmt.getSampleRate.toInt
+        // decode up to `window` frames to mono [-1,1] doubles;
+        // 16384 frames bound the spectral pass regardless of duration
+        val window = math.min(nFrames.toLong, 16384L).toInt
+        val frameSize = fmt.getFrameSize
+        val buf = new Array[Byte](window * frameSize)
+        var off = 0
+        var read = 0
+        while (off < buf.length && read >= 0) {
+          read = ais.read(buf, off, buf.length - off)
+          if (read > 0) off += read
+        }
+        val frames = off / frameSize
+        val bits = fmt.getSampleSizeInBits
+        val big = fmt.isBigEndian
+        val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        val mono = new Array[Double](frames)
+        var f = 0
+        while (f < frames) {
+          // first channel only: spectral shape, not stereo fidelity
+          val base = f * frameSize
+          mono(f) =
+            if (bits == 16) {
+              val lo = buf(base + (if (big) 1 else 0)) & 0xff
+              val hi = buf(base + (if (big) 0 else 1))
+              ((hi << 8) | lo) / 32768.0
+            } else if (signed) buf(base) / 128.0
+            else ((buf(base) & 0xff) - 128) / 128.0
+          f += 1
+        }
+        // 13 Goertzel band energies at normalized freqs (i+1)/28 of
+        // Nyquist, log-compressed — deterministic, window-bounded
+        val feats = new Array[Float](13)
+        var i = 0
+        while (i < 13) {
+          val w = math.Pi * (i + 1) / 28.0
+          val coeff = 2.0 * math.cos(w)
+          var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+          var t = 0
+          while (t < frames) {
+            s0 = mono(t) + coeff * s1 - s2
+            s2 = s1; s1 = s0
+            t += 1
+          }
+          val power = s1 * s1 + s2 * s2 - coeff * s1 * s2
+          feats(i) = math.log1p(power / math.max(1, frames)).toFloat
+          i += 1
+        }
+        AudioFeatures(-1, sr, nFrames, feats)
+      } finally ais.close()
+    }
   }
 
   /** === STUB === deterministic stand-ins for codecs the JDK does NOT
@@ -148,7 +220,7 @@ object MultimodalOps {
     assets.filter(_.modality == "audio")
       .repartition(col("asset_id"))
       .mapPartitions(_.map { a =>
-        StubCodecs.decodeAudio(a.bytes, a.meta).copy(asset_id = a.asset_id)
+        Codecs.decodeAudio(a.bytes, a.meta).copy(asset_id = a.asset_id)
       })
   }
 

@@ -135,6 +135,7 @@ object Pipeline {
     * cached or shuffled (at 100 TB the doc text never leaves the scan
     * stage). */
   final case class DocExtract(
+      doc_id: String,
       predictions: Array[Prediction],
       entities: Array[EntityRow])
 
@@ -188,7 +189,7 @@ object Pipeline {
         val ents = b.mentions.filter(!_.anaphora).map(m =>
           EntityRow(m.entity_key, m.kind, m.alias, m.from_gazette))
           .distinct
-        DocExtract(preds, ents)
+        DocExtract(b.doc.doc_id, preds, ents)
       }
     }
   }
@@ -212,7 +213,6 @@ object Pipeline {
 
   def runWithMetrics(spark: SparkSession, raw: Dataset[RawDoc],
       gazette: Seq[(String, String)]): RunHandle = {
-    import spark.implicits._
     val trunc = spark.sparkContext.longAccumulator("truncated_segments")
     // ONE narrow pass over raw docs; only ids/keys/answers are cached —
     // token arrays never leave the extract stage (cache-write of fat doc
@@ -221,6 +221,17 @@ object Pipeline {
     // reads them), entity rows arrive doc-locally deduped
     val extracted = extract(spark, raw, gazette, Some(trunc),
       keepNegatives = false).persist()
+    val (triples, cleanup) = assembleTriples(spark, extracted)
+    RunHandle(triples,
+      () => { extracted.unpersist(); cleanup() }, trunc)
+  }
+
+  /** Link + canonicalize + triple assembly over extraction output —
+    * shared by the in-memory ([[runWithMetrics]]) and checkpointed
+    * ([[runCheckpointed]]) paths. */
+  private def assembleTriples(spark: SparkSession,
+      extracted: Dataset[DocExtract]): (DataFrame, () => Unit) = {
+    import spark.implicits._
     val predictions = extracted.flatMap(_.predictions)
     // entities feed CC three ways (edges, initial components, canonical
     // ranking) — persist to shuffle the mention table once, not thrice
@@ -244,8 +255,46 @@ object Pipeline {
       .join(dim(canonical.withColumnRenamed("canonical", "obj")),
         $"right_key" === $"k").drop("k")
       .select($"subj", $"relation".as("pred"), $"obj", $"evidence_id")
-    RunHandle(triples, () => { extracted.unpersist(); entities.unpersist();
-      canonical.unpersist(); Caches.release() }, trunc)
+    (triples,
+      () => { entities.unpersist(); canonical.unpersist(); Caches.release() })
+  }
+
+  /** A [[runCheckpointed]] result: the triples plan, the batch dir this
+    * run added to the extract checkpoint (None when the resume found
+    * nothing missing and recomputed NOTHING), and the cache-release
+    * hook. */
+  final case class CheckpointedRun(
+      triples: DataFrame,
+      newExtractBatch: Option[String],
+      cleanup: () => Unit)
+
+  /** Opt-in per-stage checkpointed run (north rule: resumable from
+    * checkpoint; reference resumes preprocess per doc,
+    * `/root/reference/iepy/data/db.py:94-114`).
+    *
+    * The EXTRACT stage — tokenize/NER/coref/segment/rule-match, ~all of
+    * the pipeline's compute — checkpoints per doc through
+    * [[Checkpoint.stage]]: a killed run loses only its uncommitted batch,
+    * and a rerun anti-joins the corpus against committed batches and
+    * processes ONLY the missing docs. Link/canonicalize/triple-assembly
+    * are global (connected components span docs, so any new doc can
+    * reshape them) and cheap relative to extract — they recompute from
+    * the checkpointed extract table every run. */
+  def runCheckpointed(spark: SparkSession, raw: Dataset[RawDoc],
+      gazette: Seq[(String, String)], workDir: String): CheckpointedRun = {
+    import spark.implicits._
+    val rawWithId = raw.toDF().withColumn("doc_id",
+      concat($"repo", lit("/"), $"path", lit("@"), $"commit"))
+    val before = Checkpoint.committedBatches(workDir, "extract").toSet
+    val extracted = Checkpoint.stage(spark, workDir, "extract", "doc_id",
+      rawWithId,
+      todo => extract(spark, todo.drop("doc_id").as[RawDoc], gazette,
+        keepNegatives = false).toDF())
+      .as[DocExtract]
+    val newBatch = Checkpoint.committedBatches(workDir, "extract")
+      .filterNot(before).headOption
+    val (triples, cleanup) = assembleTriples(spark, extracted)
+    CheckpointedRun(triples, newBatch, cleanup)
   }
 
   /** Full run (convenience; caches stay alive with the session). */

@@ -65,4 +65,52 @@ class CheckpointSpec extends SparkSpec {
     assert(Checkpoint.committedBatches(dir, "s")
       .exists(_.endsWith("batch_00008")))
   }
+
+  test("checkpointed pipeline: kill/rerun reuses extract batches, triples identical") {
+    import graft.corpus.CorpusGen
+    import graft.pipeline.Pipeline
+    val sf = 0.0002
+    val dir = Files.createTempDirectory("graft-ckpt-run").toString
+    val gazette = CorpusGen.gazette(sf)
+    val all = CorpusGen.rawDocs(spark, sf)
+    val half = all.filter(d => d.path.length % 2 == 0)
+
+    // run 1 "dies" after extract committed batch 0 (on half the corpus)
+    val r1 = Pipeline.runCheckpointed(spark, half, gazette, dir)
+    r1.triples.count()
+    r1.cleanup()
+    val batch0 = r1.newExtractBatch.get
+    def batchFiles(b: String) = new java.io.File(
+      b.stripPrefix("file:")).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+    val batch0Before = batchFiles(batch0)
+    assert(batch0Before.nonEmpty)
+
+    // rerun on the FULL corpus: batch 0 untouched, the new batch holds
+    // exactly the docs batch 0 lacks
+    val r2 = Pipeline.runCheckpointed(spark, all, gazette, dir)
+    val triples2 = r2.triples
+      .select("subj", "pred", "obj", "evidence_id").collect().toSet
+    assert(r2.newExtractBatch.isDefined && r2.newExtractBatch.get != batch0)
+    assert(batchFiles(batch0) == batch0Before,
+      "committed batch 0 was rewritten on resume")
+    val nAll = all.count()
+    val nHalf = half.count()
+    assert(spark.read.parquet(r2.newExtractBatch.get).count() == nAll - nHalf)
+    r2.cleanup()
+
+    // identical to the non-checkpointed run on the same corpus
+    val (oneShot, cl) = Pipeline.runWithCleanup(spark, all, gazette)
+    val expected = oneShot
+      .select("subj", "pred", "obj", "evidence_id").collect().toSet
+    cl()
+    assert(triples2 == expected)
+
+    // third run: resume is a no-op — nothing recomputed, no new batch
+    val r3 = Pipeline.runCheckpointed(spark, all, gazette, dir)
+    assert(r3.newExtractBatch.isEmpty)
+    assert(r3.triples.count() == expected.size)
+    r3.cleanup()
+  }
 }

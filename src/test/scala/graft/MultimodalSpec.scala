@@ -78,6 +78,48 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(_.sample_rate == 22050))
   }
 
+  test("real WAV bytes decode through javax.sound: exact rate/frames + spectral peak") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // an actual encoded WAV in memory: 16-bit mono PCM, 8000 Hz,
+    // 4000 frames of a 1000 Hz sine
+    val sr = 8000
+    val n = 4000
+    val pcm = new Array[Byte](n * 2)
+    for (t <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * 1000.0 * t / sr) * 20000).toInt
+      pcm(2 * t) = (v & 0xff).toByte // little-endian
+      pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    // real decode: exact sample rate and frame count (the stub would
+    // report n_samples = wav.length incl. the 44-byte header — so exact
+    // equality proves StubCodecs was NOT reached for WAV)
+    val f = MultimodalOps.Codecs.decodeAudio(wav, Map.empty)
+    assert(f.sample_rate == sr)
+    assert(f.n_samples == n)
+    assert(f.mfcc.length == 13)
+    // band centers are (i+1)/56 * sampleRate; 1000 Hz lands on i=6
+    val peak = f.mfcc.zipWithIndex.maxBy(_._1)._2
+    assert(peak == 6, s"expected spectral peak in band 6: ${f.mfcc.toSeq}")
+
+    // through the Spark batch path: same values, asset_id attached
+    import spark.implicits._
+    val assets = Seq(MultimodalOps.Asset(9L, 1L, "audio", wav,
+      Map("sample_rate" -> "99999"))).toDS()
+    val viaSpark = MultimodalOps.audioFeatures(spark, assets).collect()
+    assert(viaSpark.length == 1)
+    assert(viaSpark.head.asset_id == 9L)
+    assert(viaSpark.head.sample_rate == sr &&
+      viaSpark.head.n_samples == n)
+    assert(viaSpark.head.mfcc.sameElements(f.mfcc))
+  }
+
   test("video frame sampling emits every k-th fixed-size frame") {
     val frames = MultimodalOps.sampleVideoFrames(spark,
       MultimodalOps.syntheticAssets(spark, 30), every = 2, frameSize = 100)
