@@ -33,6 +33,24 @@ object TimeQuery {
   }
 }
 
+/** Dev utility: repeated raw-CPU probe readings (quiet-floor + noise
+  * characterization for the scaling-pair probe defense). */
+object ProbeStats {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val hashes = args.lift(1).map(_.toInt).getOrElse(6000000)
+    val readings = (1 to n).map { i =>
+      val s = Bench.cpuProbe(hashesPerThread = hashes)
+      println(f"[probe] $i: $s%.3f s")
+      s
+    }
+    val minOf2 = readings.drop(1).grouped(2).collect {
+      case Seq(a, b) => math.min(a, b) }.toSeq
+    println(f"[probe] min=${readings.min}%.3f max=${readings.max}%.3f " +
+      f"minOf2spread=${if (minOf2.nonEmpty) minOf2.max / minOf2.min else 0.0}%.3f")
+  }
+}
+
 /** Dev utility: time one active-learning round (the same workload Bench
   * reports as al_round_sec) without running the whole bench. */
 object TimeAl {

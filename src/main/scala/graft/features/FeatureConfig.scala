@@ -61,7 +61,12 @@ object FeatureConfig {
       add("in_same_sentence")(_ => inSameSentence(col("ib"))),
       add("symbols_in_between")(_ =>
         symbolsInBetween(col("tokens"), col("ib"))),
-      add("number_of_tokens")(_ => numberOfTokens(col("tokens"))))
+      add("number_of_tokens")(_ => numberOfTokens(col("tokens"))),
+      // F22 (lex_features.py:38-71): available-but-not-default, like the
+      // reference, whose default config never lists them (the module is
+      // incomplete upstream and its trees are never populated)
+      add("chunk_tag")(_ => bagOfChunkTags(col("postags"))),
+      add("iob_chain")(_ => bagOfIobChains(col("postags"))))
   }
 
   /** Resolve a config (list of feature names) and apply in order;

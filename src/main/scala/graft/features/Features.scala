@@ -102,6 +102,21 @@ object Features {
 
   def numberOfTokens(tokens: Column): Column = size(tokens)
 
+  /** F22 tree-walk features (see [[IobChunker]]). The one UDF pair in
+    * the feature set — maximal-run chunking plus the reference's exact
+    * tree walk are imperative per-row logic with no clean built-in
+    * composition; input is the row's postag array only (bytes per row,
+    * no broadcast state), so the codegen break is local to these two
+    * columns. */
+  private val chunkTagsUdf =
+    udf((postags: Seq[String]) => IobChunker.chunkTags(postags))
+  private val iobChainsUdf =
+    udf((postags: Seq[String]) => IobChunker.iobChains(postags))
+
+  def bagOfChunkTags(postags: Column): Column = chunkTagsUdf(postags)
+
+  def bagOfIobChains(postags: Column): Column = iobChainsUdf(postags)
+
   /** All default features of `iepy/defaults.py:6-25` as named columns;
     * `df` must carry the evidence schema. */
   def withDefaultFeatures(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

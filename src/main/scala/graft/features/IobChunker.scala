@@ -1,0 +1,85 @@
+package graft.features
+
+/** F22: parse-tree IOB features (reference `lex_features.py:38-71`).
+  *
+  * The reference walks constituency trees (`segment.lex_trees`) that its
+  * own preprocess never populates — the module is incomplete upstream
+  * (`lex_features.py:5-9` is abandoned mid-function with a stray print
+  * and returns `set()` unconditionally; `_bag_of_eo_IOB_chain:12-27`
+  * stops at a commented-out `#chain =`), so these features never fire in
+  * a stock install. We complete the WHAT the finished half specifies:
+  *
+  *  - a deterministic shallow parse: `S -> chunk -> preterminal -> token`
+  *    via regex chunking over the P3 POS tags (NP/VP/PP runs) — the same
+  *    tree SHAPE the reference's tree-walk assumes (leaves under POS
+  *    preterminals, chunks above them, `S` at the root);
+  *  - `chunk_tag` (`lex_features.py:41-57`): per leaf, the node two
+  *    levels up (`path[:-2]`); tag `O` when that is the root `S`
+  *    (unchunked token), else `{B|I}-<label>` by the preterminal's
+  *    position inside the chunk;
+  *  - `iob_chain` (`lex_features.py:60-71`): the "/"-joined
+  *    modifier-label chain along `path[:-1]`; a root-level token's chain
+  *    is empty, yielding `""` — kept verbatim (the reference adds it to
+  *    the set too).
+  *
+  * On this two-level shallow parse the chain per leaf has length <= 1 —
+  * deeper grammars would grow it; the walk is implemented over the
+  * general shape so a richer chunker drops in without touching the
+  * features. The abandoned per-entity-occurrence bag (:5-9) returns the
+  * empty set in the reference and is therefore not ported.
+  */
+object IobChunker {
+
+  /** One chunk: [start, end) token range; label None = unchunked run
+    * (tokens sitting directly under S via their preterminals). */
+  final case class Chunk(label: Option[String], start: Int, end: Int)
+
+  /** Chunk grammar over the deterministic P3 tagset: maximal same-label
+    * runs. Noun-ish material (incl. determiners/adjectives folded into
+    * the nominal, standard shallow-chunk convention) -> NP, verbal
+    * material -> VP, prepositions -> PP; punctuation/conjunctions/
+    * brackets stay unchunked. */
+  private[features] def chunkLabel(tag: String): Option[String] =
+    if (tag.startsWith("NN") || tag == "DT" || tag == "JJ" ||
+      tag == "PRP" || tag == "CD") Some("NP")
+    else if (tag.startsWith("VB") || tag == "MD") Some("VP")
+    else if (tag == "IN" || tag == "TO") Some("PP")
+    else None
+
+  def chunks(postags: Seq[String]): Seq[Chunk] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+    var i = 0
+    while (i < postags.length) {
+      val label = chunkLabel(postags(i))
+      var j = i + 1
+      while (j < postags.length && chunkLabel(postags(j)) == label) j += 1
+      out += Chunk(label, i, j)
+      i = j
+    }
+    out.toSeq
+  }
+
+  /** `chunk_tag`: the distinct IOB tag set over all leaves, sorted for
+    * cross-run determinism (the reference returns an unordered set). */
+  def chunkTags(postags: Seq[String]): Seq[String] =
+    chunks(postags).flatMap { c =>
+      c.label match {
+        case None => (c.start until c.end).map(_ => "O")
+        case Some(l) =>
+          (c.start until c.end).map(t => if (t == c.start) s"B-$l" else s"I-$l")
+      }
+    }.distinct.sorted
+
+  /** `iob_chain`: the distinct chain set over all leaves — on the
+    * shallow parse, `{B|I}-<label>` for chunked tokens and the empty
+    * chain `""` for root-level ones (reference behavior of
+    * `"/".join([])`). Sorted for determinism. */
+  def iobChains(postags: Seq[String]): Seq[String] =
+    chunks(postags).flatMap { c =>
+      c.label match {
+        case None => (c.start until c.end).map(_ => "")
+        case Some(l) =>
+          (c.start until c.end).map(t => if (t == c.start) s"B-$l" else s"I-$l")
+      }
+    }.distinct.sorted
+}
