@@ -227,9 +227,10 @@ object Pipeline {
   }
 
   /** Link + canonicalize + triple assembly over extraction output —
-    * shared by the in-memory ([[runWithMetrics]]) and checkpointed
-    * ([[runCheckpointed]]) paths. */
-  private def assembleTriples(spark: SparkSession,
+    * shared by the in-memory ([[runWithMetrics]]), checkpointed
+    * ([[runCheckpointed]]) and streaming (foreachBatch re-link over the
+    * accumulated extract table) paths. */
+  private[graft] def assembleTriples(spark: SparkSession,
       extracted: Dataset[DocExtract]): (DataFrame, () => Unit) = {
     import spark.implicits._
     val predictions = extracted.flatMap(_.predictions)

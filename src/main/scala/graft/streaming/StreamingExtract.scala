@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.pipeline.{Fs, Pipeline}
+import graft.schema.RawDoc
+
+/** Structured-Streaming ingest for the KG pipeline: the batch engine's
+  * fused per-doc extract (P2-P13 + N1-N6 + R1-R8, `Pipeline.extract`)
+  * applied unchanged to a STREAM of raw documents.
+  *
+  * Why this streams cleanly: extraction is stateless and embarrassingly
+  * parallel per document — one narrow `mapPartitions` over the source,
+  * no shuffle, no state store, no watermark needed. Exactly-once per
+  * doc comes from the source's offset tracking (each micro-batch sees
+  * each input row once), the streaming twin of the batch path's
+  * per-doc checkpoint anti-join ([[graft.pipeline.Checkpoint]]).
+  *
+  * Cross-document linking (connected-components canonicalization) is a
+  * GLOBAL computation that any new doc can reshape — it cannot be an
+  * incremental operator without approximating the reference semantics.
+  * [[runToTriples]] therefore re-links per micro-batch over the
+  * ACCUMULATED extract table: extract output appends (cheap, append-only
+  * parquet), then link/canonicalize/triple-assembly recompute from all
+  * of it — the same shape as the checkpointed batch resume, and bounded
+  * by the id/key-width extract table, never the raw text. At cluster
+  * scale the re-link amortizes to one AQE-planned join pipeline per
+  * trigger; for true continuous loads the trigger interval IS the
+  * re-link budget knob.
+  */
+object StreamingExtract {
+
+  /** The per-doc extract stream: predictions + entity rows as a
+    * streaming Dataset (one narrow pass, `isStreaming == true`). */
+  def extractStream(spark: SparkSession, raw: Dataset[RawDoc],
+      gazette: Seq[(String, String)]): Dataset[Pipeline.DocExtract] =
+    Pipeline.extract(spark, raw, gazette, keepNegatives = false)
+
+  /** End-to-end streaming sink: per micro-batch, append the batch's
+    * extract output under `workDir/extract_stream`, then rebuild
+    * `workDir/triples` from the full accumulated extract (overwrite-swap
+    * so readers never see a torn table). Returns the started query;
+    * callers own its lifecycle (`processAllAvailable`/`stop`). */
+  def runToTriples(spark: SparkSession, raw: Dataset[RawDoc],
+      gazette: Seq[(String, String)], workDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    val extractDir = s"$workDir/extract_stream"
+    val triplesDir = s"$workDir/triples"
+    extractStream(spark, raw, gazette).writeStream
+      .option("checkpointLocation", s"$workDir/_stream_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Pipeline.DocExtract], _: Long) =>
+        batch.write.mode("append").parquet(extractDir)
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val all = spark.read.parquet(extractDir).as[Pipeline.DocExtract]
+        val (triples, cleanup) = Pipeline.assembleTriples(spark, all)
+        val tmp = triplesDir + "_tmp"
+        triples.write.mode("overwrite").parquet(tmp)
+        cleanup()
+        Fs.swapInto(tmp, triplesDir) // crash-safe; recovers stale _old itself
+      }
+      .start()
+  }
+}
