@@ -44,5 +44,15 @@ class StreamingExtractSpec extends SparkSpec {
     cl()
     assert(streamed == expected,
       s"streamed ${streamed.size} != batch ${expected.size}")
+
+    // restart from the stream checkpoint: a new query over the same
+    // workDir replays NOTHING (source offsets are committed), so the
+    // accumulated extract table keeps exactly one row per doc
+    val extractRows = spark.read.parquet(s"$dir/extract_stream").count()
+    assert(extractRows == docs.length.toLong)
+    val q2 = StreamingExtract.runToTriples(spark, ms.toDS(), gazette, dir)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$dir/extract_stream").count() == extractRows,
+      "restarted query replayed already-committed micro-batches")
   }
 }
