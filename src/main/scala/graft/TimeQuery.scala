@@ -87,6 +87,13 @@ object TimeAl {
         graft.ml.ActiveLearning.HighPrecisionTradeoff))
     println(s"[time] threshold=$thr")
     val m = tt("final fit")(graft.ml.RelationClassifier.fit(labeled, "svc"))
+    println(s"[time] inner SVC iterations: ${m.innerSvc.summary.totalIterations}")
+    m.finalStage match {
+      case graft.ml.RelationClassifier.MlStage(
+        svc: org.apache.spark.ml.classification.LinearSVCModel, _) =>
+        println(s"[time] final SVC iterations: ${svc.summary.totalIterations}")
+      case _ => ()
+    }
     tt("transform+rank 20k")(
       m.transform(unlabeled)
         .withColumn("uncertainty", org.apache.spark.sql.functions.abs(c("margin")))

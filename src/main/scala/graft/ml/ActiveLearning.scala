@@ -129,10 +129,17 @@ object ActiveLearning {
     // stratified folds: row_number per class (deterministic order) mod 5
     // persisted POST-featurization: the (pure Catalyst but wide) feature
     // pass is computed once here instead of once per fold fit/transform
-    // (2x5+... plans) — measured ~2x on the AL round
+    // (2x5+... plans) — measured ~2x on the AL round. Right-size the
+    // partitioning like RelationClassifier.fit does: the labeled set is
+    // annotation-bounded, and leaving it on the session's default 32
+    // shuffle partitions makes every one of the CV's many tiny jobs pay
+    // 32 task launches for a handful of rows each.
+    val nRows = labeled.count()
+    val parts = math.max(1L, math.min(nRows / 20000 + 1, 64L)).toInt
     val w = Window.partitionBy(col("label")).orderBy(col("evidence_id"))
     val folded = graft.features.Features.withDefaultFeatures(labeled)
       .withColumn("fold", (row_number().over(w) - 1) % 5)
+      .coalesce(parts)
       .persist()
     folded.count()
     // folds evaluated concurrently — Spark happily runs independent
