@@ -211,6 +211,19 @@ object Bench {
     val pipelineSf = sys.env.get("SPARK_GRAFT_PIPELINE_SF")
       .map(_.toDouble).getOrElse(0.1)
 
+    // WALL-CLOCK BUDGET: the driver's bench slot is finite; rather than
+    // risk being killed mid-run (losing the whole artifact), the pair
+    // loop and the SF-linearity pair check elapsed time and degrade
+    // gracefully — fewer pairs / skipped SF pair, each explicitly
+    // visible in the artifact — when the budget would be exceeded.
+    val benchStart = System.nanoTime()
+    def elapsedSec(): Double = (System.nanoTime() - benchStart) / 1e9
+    // default sized from measured round-4 wall (~36 min for 3 pairs +
+    // SF pair on a quiet machine): the guard is a catastrophic-slowness
+    // fuse, not a tuning knob — under normal conditions nothing is cut
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .map(_.toDouble).getOrElse(3300.0)
+
     // probe JIT warm-up (first sha256 reading in a JVM runs ~30% hot),
     // then the session-start baseline — taken BEFORE any Spark work so
     // part 1's own executor threads can never inflate it (the round-3
@@ -303,7 +316,17 @@ object Bench {
     // at most one extra pair run beyond the target, at most 6 skips
     var skips = 0
     var pairRuns = 0
+    var lastPairSec = 0.0
+    // reserve room for the SF-linearity pair (~5 min measured)
+    val sfPairReserve = 300.0
+    def pairFits(): Boolean = {
+      // first pair always runs; later ones only when the budget holds
+      // the estimated cost (last pair's wall +20%) plus the SF reserve
+      pairRuns == 0 ||
+        elapsedSec() + lastPairSec * 1.2 + sfPairReserve < budgetSec
+    }
     def runPair(pb: Double): Unit = {
+      val t0 = System.nanoTime()
       pairRuns += 1
       // run counts per leg follow the measured variance: the N leg's
       // child-to-child spread is ~6% (min-of-2 suffices), the 4N leg's
@@ -314,8 +337,9 @@ object Bench {
       val pa = probe()
       scalingTriples = t1
       pairs += ScalePair(s1, s2, pb, pa)
+      lastPairSec = (System.nanoTime() - t0) / 1e9
     }
-    while (pairRuns < pairsN && skips < 6) {
+    while (pairRuns < pairsN && skips < 6 && pairFits()) {
       val pb = probe()
       if (pb > floor() * CleanBar) {
         // machine visibly loaded: don't burn a 6-minute pair on it —
@@ -331,7 +355,8 @@ object Bench {
     if (pairs.isEmpty) runPair(probe())
     // one extra attempt if the retroactive classification left fewer
     // than 2 clean pairs and the budget allows
-    if (pairs.count(_.cleanAt(floor())) < 2 && pairRuns <= pairsN)
+    if (pairs.count(_.cleanAt(floor())) < 2 && pairRuns <= pairsN &&
+        pairFits())
       runPair(probe())
 
     // part 2c: SF-linearity pair at local[8]/12g. SF=1 and SF=2 run in
@@ -345,7 +370,8 @@ object Bench {
     // triples/s at 12g vs 93.4k at 16g back-to-back — and 12g holds
     // SF=2's working set comfortably.
     val (sf1T, sf1S, sf2T, sf2S, sf2Probe) =
-      if (sys.env.get("SPARK_GRAFT_SKIP_SF2").contains("1"))
+      if (sys.env.get("SPARK_GRAFT_SKIP_SF2").contains("1") ||
+          elapsedSec() + sfPairReserve > budgetSec)
         (0L, 0.0, 0L, 0.0, 0.0)
       else try {
         var pb = probe()
