@@ -132,6 +132,18 @@ object SparkEntry {
       val (segments, evidences, labels) = kgShapedTables(s, d)
       graft.labels.NeighborNav.nav(segments, evidences, labels)
     }),
+    "q13_asof_join" -> ((s, d) => {
+      // as-of join (union-window form, relational/AsOfJoin.scala): each
+      // click joined to the user's latest view at-or-before it —
+      // oracled against DuckDB's native ASOF LEFT JOIN
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      graft.relational.AsOfJoin.asOf(clicks, views, "user_id",
+        "ts", "ts", "click_id", "view_id")
+    }),
     "q10_confusion" -> ((s, d) => {
       // M2 metrics: one aggregation pass
       val df = t(s, d, "events").select(
@@ -418,6 +430,14 @@ object SparkEntry {
       """SELECT n_nationkey, n_name FROM nation n
         |WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
         |  AND EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)""".stripMargin,
+    "q13_asof_join" ->
+      """WITH clicks AS (SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (SELECT event_id AS view_id, user_id, ts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, c.user_id, v.view_id AS prev_view_id
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
     "q10_confusion" ->
       """WITH b AS (SELECT (value > 50) AS p, (event_type = 'click') AS r FROM events),
         |c AS (SELECT

@@ -166,6 +166,35 @@ object MultimodalOps {
         AudioFeatures(-1, sr, nFrames, feats)
       } finally ais.close()
     }
+
+    /** Real frame extraction for the one multi-frame container the JDK
+      * ships a decoder for (animated GIF via `javax.imageio`): every
+      * `every`-th frame decoded and re-encoded as standalone PNG bytes.
+      * Returns None for bytes no multi-frame-capable reader recognizes
+      * (MP4 etc.) so the caller can fall back to [[StubCodecs]]. */
+    def sampleFrames(bytes: Array[Byte],
+        every: Int): Option[Seq[Array[Byte]]] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val reader = readers.next()
+          if (!reader.getFormatName.equalsIgnoreCase("gif")) {
+            iis.close(); None
+          } else try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            Some((0 until n by math.max(1, every)).map { i =>
+              val frame = reader.read(i)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(frame, "png", bos)
+              bos.toByteArray
+            })
+          } finally { reader.dispose(); iis.close() }
+        }
+      } catch { case _: Exception => None }
   }
 
   /** === STUB === deterministic stand-ins for codecs the JDK does NOT
@@ -226,14 +255,18 @@ object MultimodalOps {
 
   /** Video frame sampling: flatMap — output can exceed input rows, so
     * this runs AFTER the repartition (never explodes a skewed input
-    * partition further). */
+    * partition further). Animated GIF decodes for real
+    * ([[Codecs.sampleFrames]], PNG bytes per sampled frame); other
+    * containers fall back to the byte-slice stub. */
   def sampleVideoFrames(spark: SparkSession, assets: Dataset[Asset],
       every: Int = 10, frameSize: Int = 256): Dataset[FrameSample] = {
     import spark.implicits._
     assets.filter(_.modality == "video")
       .repartition(col("asset_id"))
       .flatMap { a =>
-        StubCodecs.sampleFrames(a.bytes, every, frameSize).zipWithIndex
+        Codecs.sampleFrames(a.bytes, every)
+          .getOrElse(StubCodecs.sampleFrames(a.bytes, every, frameSize))
+          .zipWithIndex
           .map { case (f, i) => FrameSample(a.asset_id, i, f) }
       }
   }

@@ -120,6 +120,49 @@ class MultimodalSpec extends SparkSpec {
     assert(viaSpark.head.mfcc.sameElements(f.mfcc))
   }
 
+  test("animated GIF decodes to real PNG frames (every k-th sampled)") {
+    import javax.imageio.{IIOImage, ImageIO}
+    // an actual 6-frame animated GIF in memory: frame i is a solid
+    // 20x10 image of a distinct grey level
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until 6) {
+      val img = new java.awt.image.BufferedImage(20, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = (i * 40) & 0xff
+      for (y <- 0 until 10; x <- 0 until 20)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      writer.writeToSequence(new IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+
+    // direct decode: frames 0, 2, 4 as standalone PNGs with true dims
+    val frames = MultimodalOps.Codecs.sampleFrames(gif, every = 2)
+    assert(frames.isDefined, "GIF bytes must take the real decode path")
+    assert(frames.get.length == 3)
+    frames.get.foreach { png =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == 20 && img.getHeight == 10)
+    }
+
+    // through the Spark batch path
+    import spark.implicits._
+    val assets = Seq(MultimodalOps.Asset(11L, 1L, "video", gif,
+      Map.empty[String, String])).toDS()
+    val viaSpark = MultimodalOps
+      .sampleVideoFrames(spark, assets, every = 2).collect()
+    assert(viaSpark.length == 3)
+    assert(viaSpark.map(_.frame_index).sorted.toSeq == Seq(0, 1, 2))
+
+    // non-GIF bytes decline the real path (stub fallback preserved)
+    assert(MultimodalOps.Codecs
+      .sampleFrames(Array.fill[Byte](64)(7), 2).isEmpty)
+  }
+
   test("video frame sampling emits every k-th fixed-size frame") {
     val frames = MultimodalOps.sampleVideoFrames(spark,
       MultimodalOps.syntheticAssets(spark, 30), every = 2, frameSize = 100)
