@@ -144,6 +144,25 @@ object SparkEntry {
       graft.relational.AsOfJoin.asOf(clicks, views, "user_id",
         "ts", "ts", "click_id", "view_id")
     }),
+    "q14_range_join" -> ((s, d) => {
+      // keyed range join: views of the same user within the hour before
+      // each click (inclusive of the click instant). The equi-key keeps
+      // the join a hash join with a range FILTER — one shuffle on
+      // user_id, never a cartesian range-explode.
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("cuid"), col("ts").as("cts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("vuid"), col("ts").as("vts"))
+      // range predicate in the ON clause: zero-match clicks survive the
+      // left join with null vts and count to 0
+      clicks.join(views,
+        col("cuid") === col("vuid") && col("vts") <= col("cts") &&
+          col("vts") >= col("cts") - expr("INTERVAL 1 HOUR"), "left")
+        .groupBy(col("click_id"), col("cuid").as("user_id"))
+        .agg(count(col("vts")).as("n_views_1h"))
+    }),
     "q10_confusion" -> ((s, d) => {
       // M2 metrics: one aggregation pass
       val df = t(s, d, "events").select(
@@ -178,6 +197,7 @@ object SparkEntry {
           .cast("long").as("n_bpe_tokens"))
     }),
     "d9_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
+    "d13_tfidf" -> ((s, d) => TextOps.tfidfTopK(t(s, d, "documents"))),
     // --- similarity search: embeddings ---------------------------------
     "e1_cosine_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -430,6 +450,17 @@ object SparkEntry {
       """SELECT n_nationkey, n_name FROM nation n
         |WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
         |  AND EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)""".stripMargin,
+    "q14_range_join" ->
+      """WITH clicks AS (SELECT event_id AS click_id, user_id AS cuid, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (SELECT user_id AS vuid, ts AS vts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, c.cuid AS user_id,
+        |  COUNT(v.vts) AS n_views_1h
+        |FROM clicks c LEFT JOIN views v
+        |  ON c.cuid = v.vuid AND v.vts <= c.cts
+        | AND v.vts >= c.cts - INTERVAL 1 HOUR
+        |GROUP BY 1, 2""".stripMargin,
     "q13_asof_join" ->
       """WITH clicks AS (SELECT event_id AS click_id, user_id, ts
         |  FROM events WHERE event_type = 'click'),
@@ -557,6 +588,20 @@ object SparkEntry {
         |    generate_series(0, greatest(len(tk) - 3, 0)),
         |    i -> md5(array_to_string(tk[i+1:i+3], ' ')))) AS fingerprint
         |FROM t""".stripMargin,
+    "d13_tfidf" ->
+      """WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |    ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank FROM s)
+        |WHERE rank <= 3""".stripMargin,
     "d5_minhash" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  MIN(md5('0:' || t)) AS mh_0, MIN(md5('1:' || t)) AS mh_1,

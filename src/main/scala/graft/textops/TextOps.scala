@@ -282,6 +282,35 @@ object TextOps {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** TF-IDF top-k terms per document: tf = in-doc term count, idf =
+    * ln(N / df), top k by (score desc, term asc).
+    *
+    * Shape at scale: every stage is keyed — tf groupBy (doc, term), df
+    * groupBy term with map-side combine (distinct doc/term pairs first,
+    * one shuffle each), score join keyed on term, the corpus size N
+    * attached as a broadcast single-row cross join (never a driver-side
+    * collect), and the final top-k window partitioned per doc. No
+    * unkeyed window, no all-pairs stage. */
+  def tfidfTopK(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents.select(col("doc_id").cast("long").as("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", round(col("tf") *
+        log(col("n_docs").cast("double") / col("df").cast("double")), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+  }
+
   /** Token-level rolling-hash document fingerprint (winnowing-lite):
     * min of md5 over every w-token shingle (hex-string min — the same
     * engine-neutral construction as the minhash slots, so the oracle is
