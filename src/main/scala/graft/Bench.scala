@@ -356,8 +356,13 @@ object Bench {
     // one extra attempt if the retroactive classification left fewer
     // than 2 clean pairs and the budget allows
     if (pairs.count(_.cleanAt(floor())) < 2 && pairRuns <= pairsN &&
-        pairFits())
-      runPair(probe())
+        pairFits()) {
+      // probe-gated like the main loop: an extra pair launched into
+      // known load would be classified LOADED anyway and could cost the
+      // SF-linearity pair its budget for nothing
+      val pb = probe()
+      if (pb <= floor() * CleanBar) runPair(pb)
+    }
 
     // part 2c: SF-linearity pair at local[8]/12g. SF=1 and SF=2 run in
     // ADJACENT children under the SAME protocol (best-of-2 timed runs,
@@ -392,6 +397,8 @@ object Bench {
     val floorFinal = floor()
     val cleanPairs = pairs.filter(_.cleanAt(floorFinal)).toSeq
     val cleanN = cleanPairs.length
+    // zero clean pairs: publish the all-pair median rather than crash,
+    // but LABELED as undefended (headline line + scaling_defended flag)
     val usable = if (cleanPairs.nonEmpty) cleanPairs else pairs.toSeq
     // HEADLINE (gated) estimator: the MEDIAN over probe-defended clean
     // pairs — each pair runs adjacent in time so slow drift cancels
@@ -418,7 +425,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val extra =
-      f""""al_round_sec":$alSec%.2f,"pipeline_sf":$pipelineSf,"pipeline_triples":$nT,"pipeline_sec":$sT%.2f,"triples_per_sec":${nT / sT}%.1f,"scaling_sf":$scalingSf,"scaling_triples":$scalingTriples,"scale_mem":"$scaleMem","n_cores":$nCores,"n4_cores":${nCores * 4},"sec_n_runs":${arr(pairs.toSeq.map(_.sN))},"sec_4n_runs":${arr(pairs.toSeq.map(_.s4N))},"probe_floor":$floorFinal%.2f,"probes_before":${arr(pairs.toSeq.map(_.pBefore))},"probes_after":${arr(pairs.toSeq.map(_.pAfter))},"probes_skipped":${arr(skippedProbes.toSeq)},"probes_all":${arr(allProbeReadings.toSeq)},"clean_pairs":$cleanN,"sec_n":$sNmin%.2f,"sec_4n":$s4Nmin%.2f,"sec_n_median":$sN%.2f,"sec_4n_median":$s4N%.2f,"triples_per_sec_n":$tputN%.1f,"triples_per_sec_4n":$tput4N%.1f,"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"scaling_efficiency":$eff%.3f,"scaling_efficiency_clean_median":$eff%.3f,"scaling_efficiency_min_ratio":$effMinRatio%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_from_medians":$effFromMedians%.3f,"sf1_8c_triples":$sf1T,"sf1_8c_sec":$sf1S%.2f,"sf1_8c_triples_per_sec":$sf1Rate%.1f,"sf2_triples":$sf2T,"sf2_sec":$sf2S%.2f,"sf2_triples_per_sec":$sf2Rate%.1f,"sf_linearity":$sfLinearity%.3f,"sf2_clean":$sf2Clean"""
+      f""""al_round_sec":$alSec%.2f,"pipeline_sf":$pipelineSf,"pipeline_triples":$nT,"pipeline_sec":$sT%.2f,"triples_per_sec":${nT / sT}%.1f,"scaling_sf":$scalingSf,"scaling_triples":$scalingTriples,"scale_mem":"$scaleMem","n_cores":$nCores,"n4_cores":${nCores * 4},"sec_n_runs":${arr(pairs.toSeq.map(_.sN))},"sec_4n_runs":${arr(pairs.toSeq.map(_.s4N))},"probe_floor":$floorFinal%.2f,"probes_before":${arr(pairs.toSeq.map(_.pBefore))},"probes_after":${arr(pairs.toSeq.map(_.pAfter))},"probes_skipped":${arr(skippedProbes.toSeq)},"probes_all":${arr(allProbeReadings.toSeq)},"clean_pairs":$cleanN,"scaling_defended":${cleanN > 0},"sec_n":$sNmin%.2f,"sec_4n":$s4Nmin%.2f,"sec_n_median":$sN%.2f,"sec_4n_median":$s4N%.2f,"triples_per_sec_n":$tputN%.1f,"triples_per_sec_4n":$tput4N%.1f,"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"scaling_efficiency":$eff%.3f,"scaling_efficiency_clean_median":$eff%.3f,"scaling_efficiency_min_ratio":$effMinRatio%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_from_medians":$effFromMedians%.3f,"sf1_8c_triples":$sf1T,"sf1_8c_sec":$sf1S%.2f,"sf1_8c_triples_per_sec":$sf1Rate%.1f,"sf2_triples":$sf2T,"sf2_sec":$sf2S%.2f,"sf2_triples_per_sec":$sf2Rate%.1f,"sf_linearity":$sfLinearity%.3f,"sf2_clean":$sf2Clean"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
 
     val pairRows = pairs.zipWithIndex.map { case (p, i) =>
@@ -482,7 +489,10 @@ object Bench {
          |@PAIRS@
          |
          |scaling efficiency (HEADLINE, gate >= 0.8) = median over the
-         |$cleanN clean pair(s) = **$eff%.3f** (raw-CPU ceiling for this
+         |${if (cleanN > 0) s"$cleanN clean pair(s)" else
+            s"${pairs.length} pair(s), ALL LOADED — no probe-defended" +
+            " number was obtainable this run; treat as a lower bound"}
+         | = **$eff%.3f** (raw-CPU ceiling for this
          |pair on this VM ~0.90-0.96; each pair runs adjacent in time so
          |slow drift cancels inside it, and the median resists a steal
          |burst that starts and ends inside one child, which brackets

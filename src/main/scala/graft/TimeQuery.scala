@@ -38,7 +38,8 @@ object TimeQuery {
 object ProbeStats {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
-    val hashes = args.lift(1).map(_.toInt).getOrElse(6000000)
+    // default matches Bench.cpuProbe's — this tool calibrates THAT probe
+    val hashes = args.lift(1).map(_.toInt).getOrElse(12000000)
     val readings = (1 to n).map { i =>
       val s = Bench.cpuProbe(hashesPerThread = hashes)
       println(f"[probe] $i: $s%.3f s")

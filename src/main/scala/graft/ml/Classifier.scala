@@ -129,11 +129,15 @@ object RelationClassifier {
   /** Featurize unless the caller already did: the C7 threshold CV runs
     * 6 fits over one persisted post-feature table — recomputing the
     * (pure but wide) Catalyst feature pass per fold was the dominant
-    * AL-round cost. Presence of the first feature column is the
-    * already-featurized signal (withDefaultFeatures adds all or none). */
-  private def featurized(evidence: DataFrame): DataFrame =
-    if (evidence.columns.contains("f_bag_of_words")) evidence
+    * AL-round cost. Skips ONLY when every default feature column is
+    * present — a partial config (FeatureConfig.applyConfig can add
+    * f_bag_of_words alone) still featurizes, and withDefaultFeatures
+    * overwrites same-named columns idempotently. */
+  private def featurized(evidence: DataFrame): DataFrame = {
+    val cols = evidence.columns.toSet
+    if ((bagCols ++ denseCols).forall(cols.contains)) evidence
     else Features.withDefaultFeatures(evidence)
+  }
 
   /** Shared featurization: bags -> vectors -> inner margin -> dense
     * assembly -> scaling. */

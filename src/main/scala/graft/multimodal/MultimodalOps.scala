@@ -116,10 +116,22 @@ object MultimodalOps {
         val fmt = ais.getFormat
         val nFrames = ais.getFrameLength.toInt
         val sr = fmt.getSampleRate.toInt
+        val frameSize = fmt.getFrameSize
+        val bitsOk = fmt.getSampleSizeInBits == 8 ||
+          fmt.getSampleSizeInBits == 16
+        val pcm =
+          fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+        // only linear 8/16-bit PCM with known frame geometry decodes
+        // here; NOT_SPECIFIED (-1) lengths, mu-law/A-law companding and
+        // 24/32-bit samples route to the stub rather than crash or emit
+        // garbage spectra (the first byte of a frame is NOT the sample
+        // for those encodings)
+        if (nFrames < 0 || frameSize <= 0 || sr <= 0 || !bitsOk || !pcm)
+          return StubCodecs.decodeAudio(bytes, meta)
         // decode up to `window` frames to mono [-1,1] doubles;
         // 16384 frames bound the spectral pass regardless of duration
         val window = math.min(nFrames.toLong, 16384L).toInt
-        val frameSize = fmt.getFrameSize
         val buf = new Array[Byte](window * frameSize)
         var off = 0
         var read = 0

@@ -12,9 +12,12 @@ import graft.schema.RawDoc
   * Why this streams cleanly: extraction is stateless and embarrassingly
   * parallel per document — one narrow `mapPartitions` over the source,
   * no shuffle, no state store, no watermark needed. Exactly-once per
-  * doc comes from the source's offset tracking (each micro-batch sees
-  * each input row once), the streaming twin of the batch path's
-  * per-doc checkpoint anti-join ([[graft.pipeline.Checkpoint]]).
+  * doc comes from the source's offset tracking PLUS an idempotent sink:
+  * foreachBatch is at-least-once, so each micro-batch overwrites its
+  * own batchId-named dir (a crash-replayed batch rewrites identical
+  * content instead of appending duplicates) — the streaming twin of
+  * the batch path's per-doc checkpoint anti-join
+  * ([[graft.pipeline.Checkpoint]]).
   *
   * Cross-document linking (connected-components canonicalization) is a
   * GLOBAL computation that any new doc can reshape — it cannot be an
@@ -49,11 +52,19 @@ object StreamingExtract {
     extractStream(spark, raw, gazette).writeStream
       .option("checkpointLocation", s"$workDir/_stream_checkpoint")
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Pipeline.DocExtract], _: Long) =>
-        batch.write.mode("append").parquet(extractDir)
+      .foreachBatch { (batch: Dataset[Pipeline.DocExtract], batchId: Long) =>
+        // IDEMPOTENT batch sink: foreachBatch is at-least-once (a crash
+        // between the data write and the engine's commit-log entry
+        // replays the batch), so each batch OVERWRITES its own
+        // batchId-named dir instead of appending to a shared one —
+        // a replay rewrites identical content, never duplicates docs
+        batch.write.mode("overwrite")
+          .parquet(f"$extractDir/batch_$batchId%08d")
         val spark = batch.sparkSession
         import spark.implicits._
-        val all = spark.read.parquet(extractDir).as[Pipeline.DocExtract]
+        val all = spark.read
+          .parquet(Fs.listDirs(extractDir, "batch_"): _*)
+          .as[Pipeline.DocExtract]
         val (triples, cleanup) = Pipeline.assembleTriples(spark, all)
         val tmp = triplesDir + "_tmp"
         triples.write.mode("overwrite").parquet(tmp)

@@ -295,10 +295,14 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val tok = documents.select(col("doc_id").cast("long").as("doc_id"),
       explode(tokens(col("text"))).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tok.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tf feeds BOTH the score and the document frequency: tf already
+    // has exactly one row per distinct (doc, term), so df = its count
+    // per term — deriving dfreq from tok instead would re-run the
+    // scan+explode (the d7/d12 double-derivation pattern)
+    val tf = graft.pipeline.Caches.tracked(
+      tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = documents.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(total))

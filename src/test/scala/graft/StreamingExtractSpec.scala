@@ -48,11 +48,13 @@ class StreamingExtractSpec extends SparkSpec {
     // restart from the stream checkpoint: a new query over the same
     // workDir replays NOTHING (source offsets are committed), so the
     // accumulated extract table keeps exactly one row per doc
-    val extractRows = spark.read.parquet(s"$dir/extract_stream").count()
+    val extractRows = spark.read
+      .parquet(s"$dir/extract_stream/batch_*").count()
     assert(extractRows == docs.length.toLong)
     val q2 = StreamingExtract.runToTriples(spark, ms.toDS(), gazette, dir)
     try q2.processAllAvailable() finally q2.stop()
-    assert(spark.read.parquet(s"$dir/extract_stream").count() == extractRows,
+    assert(spark.read.parquet(s"$dir/extract_stream/batch_*").count()
+      == extractRows,
       "restarted query replayed already-committed micro-batches")
   }
 }
