@@ -362,6 +362,7 @@ object Bench {
       // SF-linearity pair its budget for nothing
       val pb = probe()
       if (pb <= floor() * CleanBar) runPair(pb)
+      else { skippedProbes += pb; skips += 1 } // audit trail like the loop
     }
 
     // part 2c: SF-linearity pair at local[8]/12g. SF=1 and SF=2 run in

@@ -117,17 +117,20 @@ object MultimodalOps {
         val nFrames = ais.getFrameLength.toInt
         val sr = fmt.getSampleRate.toInt
         val frameSize = fmt.getFrameSize
-        val bitsOk = fmt.getSampleSizeInBits == 8 ||
-          fmt.getSampleSizeInBits == 16
-        val pcm =
-          fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
-            fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
-        // only linear 8/16-bit PCM with known frame geometry decodes
-        // here; NOT_SPECIFIED (-1) lengths, mu-law/A-law companding and
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        // only encodings the branches below actually decode: 16-bit
+        // SIGNED (the decode is two's-complement — unsigned 16-bit
+        // would read silence as full-scale) and 8-bit signed/unsigned.
+        // NOT_SPECIFIED (-1) lengths, mu-law/A-law companding and
         // 24/32-bit samples route to the stub rather than crash or emit
         // garbage spectra (the first byte of a frame is NOT the sample
         // for those encodings)
-        if (nFrames < 0 || frameSize <= 0 || sr <= 0 || !bitsOk || !pcm)
+        val pcmOk =
+          (bits == 16 && enc == AudioFormat.Encoding.PCM_SIGNED) ||
+            (bits == 8 && (enc == AudioFormat.Encoding.PCM_SIGNED ||
+              enc == AudioFormat.Encoding.PCM_UNSIGNED))
+        if (nFrames < 0 || frameSize <= 0 || sr <= 0 || !pcmOk)
           return StubCodecs.decodeAudio(bytes, meta)
         // decode up to `window` frames to mono [-1,1] doubles;
         // 16384 frames bound the spectral pass regardless of duration
@@ -140,9 +143,8 @@ object MultimodalOps {
           if (read > 0) off += read
         }
         val frames = off / frameSize
-        val bits = fmt.getSampleSizeInBits
         val big = fmt.isBigEndian
-        val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
         val mono = new Array[Double](frames)
         var f = 0
         while (f < frames) {

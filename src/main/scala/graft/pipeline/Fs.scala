@@ -83,6 +83,17 @@ object Fs {
       .map(_.getPath.toString).sorted
   }
 
+  /** Plain files (not dirs) directly under `parent` whose name starts
+    * with `prefix`, sorted (empty if parent missing). */
+  def listFiles(parent: String, prefix: String): Seq[String] = {
+    val fs = of(parent)
+    val p = new Path(parent)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.toString).sorted
+  }
+
   /** True iff the dir carries Spark's job-commit marker — i.e. the write
     * job that produced it ran to completion (task files of a crashed job
     * never get one). */

@@ -23,9 +23,9 @@ import graft.schema.RawDoc
   * GLOBAL computation that any new doc can reshape — it cannot be an
   * incremental operator without approximating the reference semantics.
   * [[runToTriples]] therefore re-links per micro-batch over the
-  * ACCUMULATED extract table: extract output appends (cheap, append-only
-  * parquet), then link/canonicalize/triple-assembly recompute from all
-  * of it — the same shape as the checkpointed batch resume, and bounded
+  * ACCUMULATED extract table (one immutable batchId-named parquet dir
+  * per micro-batch), then link/canonicalize/triple-assembly recompute
+  * from all of it — the same shape as the checkpointed batch resume, and bounded
   * by the id/key-width extract table, never the raw text. At cluster
   * scale the re-link amortizes to one AQE-planned join pipeline per
   * trigger; for true continuous loads the trigger interval IS the
@@ -49,6 +49,15 @@ object StreamingExtract {
       trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
     val extractDir = s"$workDir/extract_stream"
     val triplesDir = s"$workDir/triples"
+    // fail fast on the pre-batch-dir layout (flat parquet files directly
+    // under extract_stream): the committed source offsets would skip
+    // those docs while the batch-dir read ignores their rows — silent
+    // data loss. Move the files into a batch_* dir (or re-ingest into a
+    // fresh workDir) before resuming.
+    require(Fs.listFiles(extractDir, "part-").isEmpty,
+      s"$extractDir holds flat (pre-batch-layout) parquet files; move " +
+        "them into a batch_* subdirectory or re-ingest into a fresh " +
+        "workDir before resuming")
     extractStream(spark, raw, gazette).writeStream
       .option("checkpointLocation", s"$workDir/_stream_checkpoint")
       .trigger(trigger)
