@@ -304,10 +304,11 @@ object Bench {
     val CleanBar = 1.4
 
     final case class ScalePair(sN: Double, s4N: Double,
-        pBefore: Double, pAfter: Double) {
+        pBefore: Double, pMid: Double, pAfter: Double) {
       def eff: Double = (sN / s4N) / 4.0
       def cleanAt(fl: Double): Boolean =
-        pBefore <= fl * CleanBar && pAfter <= fl * CleanBar
+        pBefore <= fl * CleanBar && pMid <= fl * CleanBar &&
+          pAfter <= fl * CleanBar
     }
     val pairs = ArrayBuffer.empty[ScalePair]
     val skippedProbes = ArrayBuffer.empty[Double]
@@ -333,10 +334,15 @@ object Bench {
       // was ~40% in round 3 (steal hits the wide leg proportionally
       // harder) — it gets 4 runs at a quarter the cost per run
       val (t1, s1) = childRun(nCores, scalingSf, timedRuns = 2, scaleMem)
+      // MID-pair probe: a steal burst confined to one leg's ~2-minute
+      // child is invisible to before/after brackets alone (the round-4
+      // failure mode: a 4N leg inflated 30-45% between two clean-reading
+      // brackets); sampling between the legs halves the blind window
+      val pm = probe()
       val (_, s2) = childRun(nCores * 4, scalingSf, timedRuns = 4, scaleMem)
       val pa = probe()
       scalingTriples = t1
-      pairs += ScalePair(s1, s2, pb, pa)
+      pairs += ScalePair(s1, s2, pb, pm, pa)
       lastPairSec = (System.nanoTime() - t0) / 1e9
     }
     while (pairRuns < pairsN && skips < 6 && pairFits()) {
@@ -426,11 +432,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val extra =
-      f""""al_round_sec":$alSec%.2f,"pipeline_sf":$pipelineSf,"pipeline_triples":$nT,"pipeline_sec":$sT%.2f,"triples_per_sec":${nT / sT}%.1f,"scaling_sf":$scalingSf,"scaling_triples":$scalingTriples,"scale_mem":"$scaleMem","n_cores":$nCores,"n4_cores":${nCores * 4},"sec_n_runs":${arr(pairs.toSeq.map(_.sN))},"sec_4n_runs":${arr(pairs.toSeq.map(_.s4N))},"probe_floor":$floorFinal%.2f,"probes_before":${arr(pairs.toSeq.map(_.pBefore))},"probes_after":${arr(pairs.toSeq.map(_.pAfter))},"probes_skipped":${arr(skippedProbes.toSeq)},"probes_all":${arr(allProbeReadings.toSeq)},"clean_pairs":$cleanN,"scaling_defended":${cleanN > 0},"sec_n":$sNmin%.2f,"sec_4n":$s4Nmin%.2f,"sec_n_median":$sN%.2f,"sec_4n_median":$s4N%.2f,"triples_per_sec_n":$tputN%.1f,"triples_per_sec_4n":$tput4N%.1f,"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"scaling_efficiency":$eff%.3f,"scaling_efficiency_clean_median":$eff%.3f,"scaling_efficiency_min_ratio":$effMinRatio%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_from_medians":$effFromMedians%.3f,"sf1_8c_triples":$sf1T,"sf1_8c_sec":$sf1S%.2f,"sf1_8c_triples_per_sec":$sf1Rate%.1f,"sf2_triples":$sf2T,"sf2_sec":$sf2S%.2f,"sf2_triples_per_sec":$sf2Rate%.1f,"sf_linearity":$sfLinearity%.3f,"sf2_clean":$sf2Clean"""
+      f""""al_round_sec":$alSec%.2f,"pipeline_sf":$pipelineSf,"pipeline_triples":$nT,"pipeline_sec":$sT%.2f,"triples_per_sec":${nT / sT}%.1f,"scaling_sf":$scalingSf,"scaling_triples":$scalingTriples,"scale_mem":"$scaleMem","n_cores":$nCores,"n4_cores":${nCores * 4},"sec_n_runs":${arr(pairs.toSeq.map(_.sN))},"sec_4n_runs":${arr(pairs.toSeq.map(_.s4N))},"probe_floor":$floorFinal%.2f,"probes_before":${arr(pairs.toSeq.map(_.pBefore))},"probes_mid":${arr(pairs.toSeq.map(_.pMid))},"probes_after":${arr(pairs.toSeq.map(_.pAfter))},"probes_skipped":${arr(skippedProbes.toSeq)},"probes_all":${arr(allProbeReadings.toSeq)},"clean_pairs":$cleanN,"scaling_defended":${cleanN > 0},"sec_n":$sNmin%.2f,"sec_4n":$s4Nmin%.2f,"sec_n_median":$sN%.2f,"sec_4n_median":$s4N%.2f,"triples_per_sec_n":$tputN%.1f,"triples_per_sec_4n":$tput4N%.1f,"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"scaling_efficiency":$eff%.3f,"scaling_efficiency_clean_median":$eff%.3f,"scaling_efficiency_min_ratio":$effMinRatio%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_from_medians":$effFromMedians%.3f,"sf1_8c_triples":$sf1T,"sf1_8c_sec":$sf1S%.2f,"sf1_8c_triples_per_sec":$sf1Rate%.1f,"sf2_triples":$sf2T,"sf2_sec":$sf2S%.2f,"sf2_triples_per_sec":$sf2Rate%.1f,"sf_linearity":$sfLinearity%.3f,"sf2_clean":$sf2Clean"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
 
     val pairRows = pairs.zipWithIndex.map { case (p, i) =>
-      f"| ${i + 1} | ${p.sN}%.2f | ${p.s4N}%.2f | ${p.eff}%.3f | ${p.pBefore}%.2f / ${p.pAfter}%.2f | ${if (p.cleanAt(floorFinal)) "clean" else "LOADED"} |"
+      f"| ${i + 1} | ${p.sN}%.2f | ${p.s4N}%.2f | ${p.eff}%.3f | ${p.pBefore}%.2f / ${p.pMid}%.2f / ${p.pAfter}%.2f | ${if (p.cleanAt(floorFinal)) "clean" else "LOADED"} |"
     }.mkString("\n")
     val md =
       f"""# BENCH — measured baseline (graft KG pipeline)
@@ -477,7 +483,9 @@ object Bench {
          |so a start baseline measured under load cannot launder loaded
          |pairs (the round-3 defect: a 2.61 s "baseline" read while part 1
          |drained sat above every in-pair probe and the bar rejected
-         |nothing). A pair is CLEAN iff both its bracketing points are
+         |nothing). A pair is CLEAN iff its before/MID/after
+         |points (mid = between the two legs — a burst confined to one
+         |leg's child is invisible to outer brackets alone) are all
          |within 40%% of the FINAL floor, classified retroactively; probe
          |points above the bar skip the pair and wait instead of measuring
          |into load. (Bar calibration: idle-machine points still spread
@@ -485,7 +493,7 @@ object Bench {
          |what the other vcores were doing — while genuine contention
          |inflates points 50-100%%+; 1.4x separates the regimes.) ${skippedProbes.size} attempt(s) skipped as loaded.
          |
-         || pair | local[$nCores] (s) | local[${nCores * 4}] (s) | efficiency | probes (s) | status |
+         || pair | local[$nCores] (s) | local[${nCores * 4}] (s) | efficiency | probes before/mid/after (s) | status |
          ||---|---|---|---|---|---|
          |@PAIRS@
          |
@@ -526,6 +534,15 @@ object Bench {
     try {
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+      // append-only run history: successive runs stay visible instead of
+      // each overwriting the last one's story — run-to-run machine drift
+      // (the dominant noise source) is auditable from the history alone
+      val hist =
+        f"""{"ts":${System.currentTimeMillis / 1000},"scaling_efficiency":$eff%.3f,"min_ratio":$effMinRatio%.3f,"best":$effBest%.3f,"from_medians":$effFromMedians%.3f,"clean_pairs":$cleanN,"defended":${cleanN > 0},"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"probe_floor":$floorFinal%.2f,"sec_n":$sNmin%.2f,"sec_4n":$s4Nmin%.2f,"sf_linearity":$sfLinearity%.3f,"sf2_clean":$sf2Clean,"headline_tps":${nT / sT}%.1f,"al_round_sec":$alSec%.2f}""" + "\n"
+      Files.writeString(Paths.get("BENCH/history.jsonl"), hist,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      BenchHistory.rewrite()
       // PLANS.md carries the same efficiency number between
       // <!--EFF--> markers — overwrite it so the repo can never ship
       // two contradictory scaling claims again
