@@ -53,13 +53,30 @@ object Pipeline {
     * broadcast id so different gazettes coexist. */
   private val nerCache =
     new java.util.concurrent.ConcurrentHashMap[String, LiteralNer]()
+  private[graft] def nerCacheKeys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    nerCache.keySet.asScala.toSet
+  }
+  private[graft] def cachedNerFor(appId: String, bcId: Long,
+      build: () => LiteralNer): LiteralNer = {
+    val key = appId + ":" + bcId
+    if (!nerCache.containsKey(key)) {
+      // bound the cache: a JVM holds one ACTIVE SparkContext at a time,
+      // so entries keyed by a different appId belong to a stopped
+      // session and can never be read again — evict them before
+      // inserting (a JVM hosting many sessions over its life, e.g. the
+      // test runner or a shared long-lived executor, would otherwise
+      // leak one 60k-literal trie per session)
+      nerCache.keySet.removeIf(k => !k.startsWith(appId + ":"))
+    }
+    nerCache.computeIfAbsent(key, _ => build())
+  }
   def cachedNer(
-      bc: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]]): LiteralNer = {
+      bc: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]]): LiteralNer =
     // broadcast ids restart at 0 for every SparkContext — key by appId
     // too, or a fresh session silently reuses a stale trie
-    val key = org.apache.spark.SparkEnv.get.conf.getAppId + ":" + bc.id
-    nerCache.computeIfAbsent(key, _ => new LiteralNer(bc.value))
-  }
+    cachedNerFor(org.apache.spark.SparkEnv.get.conf.getAppId, bc.id,
+      () => new LiteralNer(bc.value))
 
   /** Per-document preprocess: tokenize, sentence-split, POS, lemmas,
     * gazette + camel NER (no-overlap combine, gazette first), dedupe,

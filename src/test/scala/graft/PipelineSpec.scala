@@ -105,6 +105,31 @@ class PipelineSpec extends SparkSpec {
     h.cleanup()
   }
 
+  test("nerCache evicts a stopped session's tries on the next session's insert") {
+    val mini = Seq(("parse_header_0", "FUNCTION"))
+    Pipeline.cachedNerFor("app-A", 0L,
+      () => new graft.preprocess.LiteralNer(mini))
+    Pipeline.cachedNerFor("app-A", 1L,
+      () => new graft.preprocess.LiteralNer(mini))
+    assert(Pipeline.nerCacheKeys.count(_.startsWith("app-A:")) == 2)
+    // same appId re-insert keeps both entries (no false eviction)
+    Pipeline.cachedNerFor("app-A", 0L,
+      () => fail("cache hit must not rebuild"))
+    assert(Pipeline.nerCacheKeys.count(_.startsWith("app-A:")) == 2)
+    // a NEW session's first insert evicts every app-A trie: one active
+    // SparkContext per JVM means app-A can never be read again
+    Pipeline.cachedNerFor("app-B", 0L,
+      () => new graft.preprocess.LiteralNer(mini))
+    assert(!Pipeline.nerCacheKeys.exists(_.startsWith("app-A:")),
+      s"stale app-A entries survived: ${Pipeline.nerCacheKeys}")
+    assert(Pipeline.nerCacheKeys.count(_.startsWith("app-B:")) == 1)
+    // restore the SHARED test session's view: evict our fake-app entry so
+    // later suites' cachedNer calls rebuild cleanly
+    Pipeline.cachedNerFor(
+      org.apache.spark.SparkEnv.get.conf.getAppId, -1L,
+      () => new graft.preprocess.LiteralNer(mini))
+  }
+
   test("pipeline is idempotent: second run emits the identical triple set") {
     val sf = 0.0003
     val raw = CorpusGen.rawDocs(spark, sf)
