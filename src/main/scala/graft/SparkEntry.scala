@@ -186,6 +186,12 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       TextOps.ngramJaccardOfPairs(docs, TextOps.lshCandidatePairs(docs))
     }),
+    "d14_jaccard_both" -> ((s, d) => {
+      // combined verify: unigram + shingle Jaccard in ONE pair join —
+      // the fused form of d7+d12 for pipelines that want both measures
+      val docs = t(s, d, "documents")
+      TextOps.jaccardBothOfPairs(docs, TextOps.lshCandidatePairs(docs))
+    }),
     "d8_simhash" -> ((s, d) => TextOps.simhash(t(s, d, "documents"))),
     "d10_bpe_tokens" -> ((s, d) => {
       // BPE-ish regex pre-tokenization count: letter runs / digit runs /
@@ -628,6 +634,20 @@ object SparkEntry {
         |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS sh
         |  FROM documents)
         |SELECT p.a, p.b,
+        |  ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS ngram_jaccard
+        |FROM pairs p JOIN dt da ON p.a = da.doc_id JOIN dt db ON p.b = db.doc_id""".stripMargin,
+    "d14_jaccard_both" ->
+      s"""$lshPairsCtes,
+        |dt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  list_distinct(string_split(text, ' ')) AS toks,
+        |  list_distinct(list_transform(
+        |    generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS sh
+        |  FROM documents)
+        |SELECT p.a, p.b,
+        |  ROUND(CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(da.toks, db.toks))), 4) AS jaccard,
         |  ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS ngram_jaccard
         |FROM pairs p JOIN dt da ON p.a = da.doc_id JOIN dt db ON p.b = db.doc_id""".stripMargin,

@@ -225,6 +225,47 @@ object TextOps {
           .as("ngram_jaccard"))
   }
 
+  /** Combined verify pass: unigram Jaccard AND w-token shingle Jaccard
+    * for the same candidate pairs in ONE pair join. Pipelines that want
+    * both measures (the common near-dup setup: bag-of-words to catch
+    * reshuffles, shingles to score order) otherwise run
+    * [[jaccardOfPairs]] + [[ngramJaccardOfPairs]] — two pair joins, two
+    * dimension derivations over the same text scan. Here the dimension
+    * table carries both hashed sets per doc (derived in one scan,
+    * persisted once) and the pair side shuffles once. Same join shape
+    * as the single-measure passes: dimension side AQE-decided
+    * (see [[dimSide]]), |union| from sizes, pair rows id-width. */
+  def jaccardBothOfPairs(documents: DataFrame, pairs: DataFrame,
+      w: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val shingles = array_distinct(transform(
+      sequence(lit(0), greatest(n - w, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w))))))
+    val dims = graft.pipeline.Caches.tracked(
+      documents.select(col("doc_id").cast("long").as("doc_id"),
+        transform(array_distinct(toks), t => xxhash64(t)).as("toks"),
+        shingles.as("sh"))
+        .withColumn("nt", size(col("toks")))
+        .withColumn("ns", size(col("sh"))))
+    pairs
+      .join(dimSide(dims.select(col("doc_id").as("a"),
+        col("toks").as("ta"), col("sh").as("sa"),
+        col("nt").as("nta"), col("ns").as("nsa"))), "a")
+      .join(dimSide(dims.select(col("doc_id").as("b"),
+        col("toks").as("tb"), col("sh").as("sb"),
+        col("nt").as("ntb"), col("ns").as("nsb"))), "b")
+      .withColumn("nit", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("nis", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("a"), col("b"),
+        round(col("nit").cast("double") /
+          (col("nta") + col("ntb") - col("nit")).cast("double"), 4)
+          .as("jaccard"),
+        round(col("nis").cast("double") /
+          (col("nsa") + col("nsb") - col("nis")).cast("double"), 4)
+          .as("ngram_jaccard"))
+  }
+
   /** SimHash-64 over tokens: per bit, sign of sum over tokens of
     * (bit(hash64(token)) ? +1 : -1). The 64 token-hash bits are the
     * first 16 hex nibbles of md5(token) (bit i = bit i%4 of nibble i/4)

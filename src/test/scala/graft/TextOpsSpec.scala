@@ -95,6 +95,25 @@ class TextOpsSpec extends SparkSpec {
     assert(uni((1L, 3L)) == 1.0)
   }
 
+  test("jaccardBothOfPairs == jaccardOfPairs + ngramJaccardOfPairs, fused") {
+    val docs = familyDocs(4, 3, 25, 3).toDF("doc_id", "text")
+    val pairs = TextOps.lshCandidatePairs(docs)
+    val both = TextOps.jaccardBothOfPairs(docs, pairs, w = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    val uni = TextOps.jaccardOfPairs(docs, pairs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val ng = TextOps.ngramJaccardOfPairs(docs, pairs, w = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(both.keySet == uni.keySet && both.keySet == ng.keySet)
+    both.foreach { case (p, (j, nj)) =>
+      assert(j == uni(p) && nj == ng(p), s"fused pass diverges at $p")
+    }
+    assert(both.nonEmpty)
+  }
+
   test("simhash banding recall vs brute force at maxHamming=6") {
     // 4 x 16-bit bands GUARANTEE recall only to Hamming <= 3 (pigeonhole);
     // pairs at 4..6 are probabilistic. Measure both regimes.
