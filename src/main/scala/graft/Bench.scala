@@ -90,13 +90,19 @@ object Bench {
       .redirectError(ProcessBuilder.Redirect.DISCARD) // Spark stderr
                                                       // would fill the pipe
     pb.environment().put("GRAFT_TIMED_RUNS", timedRuns.toString)
-    // Bench children run AQE-off with the dimension-side broadcast
-    // hints forced: AQE's per-stage re-planning is pure fixed latency
-    // at single-node scale (measured 5.4 s of the 32 s SF=1.0 8-core
-    // run) and the hints it would have chosen are known. Library
-    // default stays AQE-on + no hints — the right call on a cluster.
+    // Bench children run AQE-off with PLAIN SHUFFLE JOINS (dim hint
+    // auto): AQE's per-stage re-planning is pure fixed latency at
+    // single-node scale (measured 5.4 s of the 32 s SF=1.0 8-core run).
+    // Round 5's stage-timed SF=1-vs-SF=2 pairs found the round-4 forced
+    // dimension broadcast WAS the SF sub-linearity: the canonical map
+    // grows with the corpus (798k -> 1.59M entities at SF=1 -> SF=2),
+    // and force-broadcasting it quadrupled the triple-join stage
+    // (2.9 s -> 12.2 s for 2x data; rate ratio 0.87). Plain shuffle
+    // joins measured LINEAR (1.007) at ~8% lower SF=1 throughput — the
+    // honest, 100 TB-shaped config. Library default stays AQE-on: AQE
+    // makes the broadcast-vs-shuffle call per join from runtime sizes.
     pb.environment().put("SPARK_GRAFT_AQE", "false")
-    pb.environment().put("GRAFT_DIM_BROADCAST", "force")
+    pb.environment().put("GRAFT_DIM_BROADCAST", "auto")
     val p = pb.start()
     val out = scala.io.Source.fromInputStream(p.getInputStream)
       .getLines().toList
@@ -238,6 +244,23 @@ object Bench {
     }
     probe()
 
+    // Cleanliness is judged against the SESSION FLOOR: the min over
+    // every probe point taken this run (the start baseline, in-pair
+    // brackets, skip probes). The floor can only tighten, so
+    // measurements are classified RETROACTIVELY at the end — a baseline
+    // that itself was measured under load (the round-3 defect) can no
+    // longer launder a loaded measurement as clean, because any later
+    // quieter reading exposes it.
+    def floor(): Double = allProbeReadings.min
+    // Bar calibration (measured, ProbeStats + dry runs): min-of-2 probe
+    // POINTS on an idle machine still spread ~±20% around the session
+    // min — the 8-thread turbo/frequency state depends on what the
+    // other 24 vcores were doing moments before, so the floor itself
+    // dips below typical-quiet. Genuine contention (another Spark JVM,
+    // the driver's oracle runs) inflates points 50-100%+. 1.4x the
+    // floor separates the two regimes; 1.15x flagged quiet pairs.
+    val CleanBar = 1.4
+
     // part 1: per-query timings on the driver tables. Cache state is
     // reset between queries — a leaked persist from one query must not
     // tax (or subsidize) the next one's number — but the release runs
@@ -255,12 +278,35 @@ object Bench {
         spark1.catalog.clearCache()
         name -> secs
     }
+    // the AL-round number swung 31.6-71.2 s with host load across
+    // rounds; bracket it so history carries a defended reading
+    val pAlBefore = probe()
     val alSec = try alRoundSec(spark1) catch { case _: Throwable => -1.0 }
+    val pAlAfter = probe()
     spark1.stop()
 
-    // part 2a: headline throughput at full parallelism
-    val (nT, sT) = childRun(32, pipelineSf, timedRuns = 3,
-      mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
+    // part 2a: headline throughput at full parallelism — probe-bracketed
+    // and retried-on-loaded like the scaling pairs (round-4 defect: the
+    // committed artifact published a 27.7k t/s headline measured under
+    // load — history held 83-88.5k quiet readings — with no flag)
+    val headlineMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
+    final case class Headline(t: Long, s: Double, pB: Double, pA: Double) {
+      def cleanAt(fl: Double): Boolean =
+        pB <= fl * CleanBar && pA <= fl * CleanBar
+    }
+    val headlines = ArrayBuffer.empty[Headline]
+    def runHeadline(): Unit = {
+      val pb = probe()
+      val (t, s) = childRun(32, pipelineSf, timedRuns = 3, headlineMem)
+      headlines += Headline(t, s, pb, probe())
+    }
+    runHeadline()
+    var hRetries = 0
+    while (!headlines.last.cleanAt(floor()) && hRetries < 2) {
+      hRetries += 1
+      Thread.sleep(20000)
+      runHeadline()
+    }
 
     // part 2b: the scaling pair. Why local[2] vs local[8]: a raw-CPU
     // probe (multiprocess sha256, zero shared state) shows this VM's
@@ -286,22 +332,6 @@ object Bench {
 
     System.gc()
     Thread.sleep(3000) // let part 2a's child fully exit
-
-    // Cleanliness is judged against the SESSION FLOOR: the min over
-    // every probe point taken this run (the start baseline, in-pair
-    // brackets, skip probes). The floor can only tighten, so pairs are
-    // classified RETROACTIVELY at the end — a baseline that itself was
-    // measured under load (the round-3 defect) can no longer launder a
-    // loaded pair as clean, because any later quieter reading exposes it.
-    def floor(): Double = allProbeReadings.min
-    // Bar calibration (measured, ProbeStats + dry runs): min-of-2 probe
-    // POINTS on an idle machine still spread ~±20% around the session
-    // min — the 8-thread turbo/frequency state depends on what the
-    // other 24 vcores were doing moments before, so the floor itself
-    // dips below typical-quiet. Genuine contention (another Spark JVM,
-    // the driver's oracle runs) inflates points 50-100%+. 1.4x the
-    // floor separates the two regimes; 1.15x flagged quiet pairs.
-    val CleanBar = 1.4
 
     final case class ScalePair(sN: Double, s4N: Double,
         pBefore: Double, pMid: Double, pAfter: Double) {
@@ -381,27 +411,76 @@ object Bench {
     // 16g: ParallelGC slows as the heap grows — measured 113.8k
     // triples/s at 12g vs 93.4k at 16g back-to-back — and 12g holds
     // SF=2's working set comfortably.
-    val (sf1T, sf1S, sf2T, sf2S, sf2Probe) =
-      if (sys.env.get("SPARK_GRAFT_SKIP_SF2").contains("1") ||
-          elapsedSec() + sfPairReserve > budgetSec)
-        (0L, 0.0, 0L, 0.0, 0.0)
-      else try {
-        var pb = probe()
-        var waits = 0
-        while (pb > floor() * CleanBar && waits < 4) {
-          Thread.sleep(20000); waits += 1; pb = probe()
+    //
+    // Round-4 defect fixed here: ONE attempt with only outer brackets
+    // published a LOADED 73% (a steal burst inside the ~90 s SF=2 child
+    // is invisible to before/after probes) while clean history readings
+    // contradicted each other. Now: a MID probe between the legs, and
+    // the same skip-the-attempt/retry-until-clean budget the scaling
+    // pairs get, classified retroactively against the final floor.
+    final case class SfAttempt(t1: Long, s1: Double, t2: Long, s2: Double,
+        pB: Double, pM: Double, pA: Double) {
+      def linearity: Double = (t2 / s2) / (t1 / s1)
+      def cleanAt(fl: Double): Boolean =
+        pB <= fl * CleanBar && pM <= fl * CleanBar && pA <= fl * CleanBar
+    }
+    val sfAttempts = ArrayBuffer.empty[SfAttempt]
+    if (!sys.env.get("SPARK_GRAFT_SKIP_SF2").contains("1")) {
+      var attempts = 0
+      var waits = 0
+      var done = false
+      while (!done && attempts < 3 && waits < 6 &&
+          elapsedSec() + sfPairReserve < budgetSec) {
+        val pb = probe()
+        if (pb > floor() * CleanBar) {
+          skippedProbes += pb; waits += 1; Thread.sleep(20000)
+        } else {
+          attempts += 1
+          try {
+            val (t1, s1) = childRun(8, 1.0, timedRuns = 2, mem = "12g")
+            val pm = probe()
+            val (t2, s2) = childRun(8, 2.0, timedRuns = 2, mem = "12g")
+            val pa = probe()
+            sfAttempts += SfAttempt(t1, s1, t2, s2, pb, pm, pa)
+            done = sfAttempts.last.cleanAt(floor())
+          } catch { case _: Throwable => () }
         }
-        val (t1, s1) = childRun(8, 1.0, timedRuns = 2, mem = "12g")
-        val (t2, s2) = childRun(8, 2.0, timedRuns = 2, mem = "12g")
-        val pa = probe()
-        (t1, s1, t2, s2, math.max(pb, pa))
-      } catch { case _: Throwable => (0L, 0.0, 0L, 0.0, 0.0) }
-    val sf2Clean = sf2S > 0 && sf2Probe <= floor() * CleanBar
+      }
+      // budget exhausted with zero attempts: a loaded reading beats a
+      // silent hole in the artifact (probes will mark it LOADED)
+      if (sfAttempts.isEmpty && elapsedSec() + sfPairReserve < budgetSec)
+        try {
+          val pb = probe()
+          val (t1, s1) = childRun(8, 1.0, timedRuns = 2, mem = "12g")
+          val pm = probe()
+          val (t2, s2) = childRun(8, 2.0, timedRuns = 2, mem = "12g")
+          sfAttempts += SfAttempt(t1, s1, t2, s2, pb, pm, probe())
+        } catch { case _: Throwable => () }
+    }
+
+    val floorFinal = floor()
+    // retroactive classification of the bracketed singletons
+    val headlineClean = headlines.exists(_.cleanAt(floorFinal))
+    val hUsable =
+      if (headlineClean) headlines.filter(_.cleanAt(floorFinal))
+      else headlines
+    val hBest = hUsable.minBy(_.s)
+    val nT = hBest.t
+    val sT = hBest.s
+    val alClean = alSec > 0 && pAlBefore <= floorFinal * CleanBar &&
+      pAlAfter <= floorFinal * CleanBar
+    val sfCleanAtt = sfAttempts.filter(_.cleanAt(floorFinal)).toSeq
+    val sfUsable = if (sfCleanAtt.nonEmpty) sfCleanAtt else sfAttempts.toSeq
+    val sf2Clean = sfCleanAtt.nonEmpty
+    // per-leg minima over the usable attempts: host steal only ever ADDS
+    // wall time, and both legs of every attempt ran under one protocol
+    val sf1T = sfUsable.headOption.map(_.t1).getOrElse(0L)
+    val sf2T = sfUsable.headOption.map(_.t2).getOrElse(0L)
+    val sf1S = if (sfUsable.nonEmpty) sfUsable.map(_.s1).min else 0.0
+    val sf2S = if (sfUsable.nonEmpty) sfUsable.map(_.s2).min else 0.0
     val sf1Rate = if (sf1S > 0) sf1T / sf1S else 0.0
     val sf2Rate = if (sf2S > 0) sf2T / sf2S else 0.0
     val sfLinearity = if (sf1Rate > 0) sf2Rate / sf1Rate else 0.0
-
-    val floorFinal = floor()
     val cleanPairs = pairs.filter(_.cleanAt(floorFinal)).toSeq
     val cleanN = cleanPairs.length
     // zero clean pairs: publish the all-pair median rather than crash,
@@ -432,7 +511,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val extra =
-      f""""al_round_sec":$alSec%.2f,"pipeline_sf":$pipelineSf,"pipeline_triples":$nT,"pipeline_sec":$sT%.2f,"triples_per_sec":${nT / sT}%.1f,"scaling_sf":$scalingSf,"scaling_triples":$scalingTriples,"scale_mem":"$scaleMem","n_cores":$nCores,"n4_cores":${nCores * 4},"sec_n_runs":${arr(pairs.toSeq.map(_.sN))},"sec_4n_runs":${arr(pairs.toSeq.map(_.s4N))},"probe_floor":$floorFinal%.2f,"probes_before":${arr(pairs.toSeq.map(_.pBefore))},"probes_mid":${arr(pairs.toSeq.map(_.pMid))},"probes_after":${arr(pairs.toSeq.map(_.pAfter))},"probes_skipped":${arr(skippedProbes.toSeq)},"probes_all":${arr(allProbeReadings.toSeq)},"clean_pairs":$cleanN,"scaling_defended":${cleanN > 0},"sec_n":$sNmin%.2f,"sec_4n":$s4Nmin%.2f,"sec_n_median":$sN%.2f,"sec_4n_median":$s4N%.2f,"triples_per_sec_n":$tputN%.1f,"triples_per_sec_4n":$tput4N%.1f,"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"scaling_efficiency":$eff%.3f,"scaling_efficiency_clean_median":$eff%.3f,"scaling_efficiency_min_ratio":$effMinRatio%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_from_medians":$effFromMedians%.3f,"sf1_8c_triples":$sf1T,"sf1_8c_sec":$sf1S%.2f,"sf1_8c_triples_per_sec":$sf1Rate%.1f,"sf2_triples":$sf2T,"sf2_sec":$sf2S%.2f,"sf2_triples_per_sec":$sf2Rate%.1f,"sf_linearity":$sfLinearity%.3f,"sf2_clean":$sf2Clean"""
+      f""""al_round_sec":$alSec%.2f,"al_round_clean":$alClean,"pipeline_sf":$pipelineSf,"pipeline_triples":$nT,"pipeline_sec":$sT%.2f,"triples_per_sec":${nT / sT}%.1f,"headline_clean":$headlineClean,"headline_attempts":${headlines.length},"headline_secs":${arr(headlines.toSeq.map(_.s))},"scaling_sf":$scalingSf,"scaling_triples":$scalingTriples,"scale_mem":"$scaleMem","n_cores":$nCores,"n4_cores":${nCores * 4},"sec_n_runs":${arr(pairs.toSeq.map(_.sN))},"sec_4n_runs":${arr(pairs.toSeq.map(_.s4N))},"probe_floor":$floorFinal%.2f,"probes_before":${arr(pairs.toSeq.map(_.pBefore))},"probes_mid":${arr(pairs.toSeq.map(_.pMid))},"probes_after":${arr(pairs.toSeq.map(_.pAfter))},"probes_skipped":${arr(skippedProbes.toSeq)},"probes_all":${arr(allProbeReadings.toSeq)},"clean_pairs":$cleanN,"scaling_defended":${cleanN > 0},"sec_n":$sNmin%.2f,"sec_4n":$s4Nmin%.2f,"sec_n_median":$sN%.2f,"sec_4n_median":$s4N%.2f,"triples_per_sec_n":$tputN%.1f,"triples_per_sec_4n":$tput4N%.1f,"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"scaling_efficiency":$eff%.3f,"scaling_efficiency_clean_median":$eff%.3f,"scaling_efficiency_min_ratio":$effMinRatio%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_from_medians":$effFromMedians%.3f,"sf1_8c_triples":$sf1T,"sf1_8c_sec":$sf1S%.2f,"sf1_8c_triples_per_sec":$sf1Rate%.1f,"sf2_triples":$sf2T,"sf2_sec":$sf2S%.2f,"sf2_triples_per_sec":$sf2Rate%.1f,"sf_linearity":$sfLinearity%.3f,"sf2_clean":$sf2Clean,"sf_attempts":${sfAttempts.length},"sf_attempt_linearity":${arr(sfAttempts.toSeq.map(_.linearity))}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
 
     val pairRows = pairs.zipWithIndex.map { case (p, i) =>
@@ -451,18 +530,27 @@ object Bench {
          |## Headline throughput (SF=$pipelineSf%.2f)
          |
          |All part-2 numbers below are measured under the BENCH config:
-         |child JVMs with AQE off and the dimension-side broadcast hints
-         |forced (AQE's per-stage re-planning is pure fixed latency at
-         |single-node scale; the hints it would pick are known). The
-         |library DEFAULT stays AQE-on + hint-free — the right call on a
-         |real cluster — and runs a few seconds slower per job here.
+         |child JVMs with AQE off and plain shuffle joins (no broadcast
+         |hints). Round 5's stage-timed SF pairs showed the previously
+         |forced dimension broadcast was a scale trap: the canonical map
+         |grows with the corpus, and broadcasting it quadrupled the
+         |triple-join stage at SF=2 (rate ratio 0.87 vs 1.007 with
+         |shuffle joins, ~8%% cheaper at SF=1 but sub-linear). The
+         |library DEFAULT stays AQE-on + hint-free — AQE makes the
+         |broadcast call per join from runtime sizes, the right behavior
+         |on a real cluster.
          |
-         || config | triples | seconds | triples/sec |
-         ||---|---|---|---|
-         || local[32], bench config | $nT | $sT%.2f | ${nT / sT}%.1f |
+         |The headline is probe-bracketed and retried-on-loaded exactly
+         |like the scaling pairs (${headlines.length} attempt(s); the row
+         |below is the fastest CLEAN attempt when one exists).
+         |
+         || config | triples | seconds | triples/sec | status |
+         ||---|---|---|---|---|
+         || local[32], bench config | $nT | $sT%.2f | ${nT / sT}%.1f | ${if (headlineClean) "clean" else "LOADED"} |
          |
          |One active-learning round (C7 5-fold threshold + C4 fit + C5/C6
-         |rank, 200 labeled / 20k unlabeled): $alSec%.2f s.
+         |rank, 200 labeled / 20k unlabeled): $alSec%.2f s
+         |(${if (alClean) "clean" else "LOADED"}, probe-bracketed).
          |
          |## Scaling N -> 4N (identical input, SF=$scalingSf%.2f)
          |
@@ -517,12 +605,26 @@ object Bench {
          |
          |Adjacent children at local[8]/12g, best-of-2 timed runs each —
          |identical protocol on both legs, so the rate ratio isolates
-         |data-scale behavior from heap geometry and machine state.
+         |data-scale behavior from heap geometry and machine state. Each
+         |attempt is bracketed before/MID/after (the mid probe sits
+         |between the two legs — a steal burst inside one child is
+         |invisible to outer brackets alone, the round-4 defect that
+         |published a LOADED 73%%) and retried until probe-clean within
+         |the wall budget; classification is retroactive against the
+         |final floor.
          |
-         || config | triples | seconds | triples/sec | probe |
+         || attempt | SF=1 (s) | SF=2 (s) | rate ratio | probes b/m/a (s) | status |
+         ||---|---|---|---|---|---|
+         |@SFATTEMPTS@
+         |
+         |Published legs = per-leg minima over the
+         |${if (sf2Clean) s"${sfCleanAtt.length} clean attempt(s)"
+            else s"${sfAttempts.length} attempt(s), ALL LOADED"}:
+         |
+         || config | triples | seconds | triples/sec | status |
          ||---|---|---|---|---|
-         || SF=1.0, local[8], 12g | $sf1T | $sf1S%.2f | $sf1Rate%.1f | ${if (sf2Clean) "clean" else "LOADED"} (pair-bracketed) |
-         || SF=2.0, local[8], 12g | $sf2T | $sf2S%.2f | $sf2Rate%.1f | ${if (sf2Clean) "clean" else "LOADED"} (pair-bracketed) |
+         || SF=1.0, local[8], 12g | $sf1T | $sf1S%.2f | $sf1Rate%.1f | ${if (sf2Clean) "clean" else "LOADED"} |
+         || SF=2.0, local[8], 12g | $sf2T | $sf2S%.2f | $sf2Rate%.1f | ${if (sf2Clean) "clean" else "LOADED"} |
          |
          |SF=2 rate / SF=1 rate = **${sfLinearity * 100}%.0f%%** — a ratio
          |in the ~85-115%% band means the pipeline is linear in data
@@ -531,6 +633,11 @@ object Bench {
          |artifact's 58%% came from comparing a single run taken under
          |load against the min of nine runs from a different protocol.)
          |""".stripMargin.replace("@PAIRS@", pairRows)
+            .replace("@SFATTEMPTS@",
+              if (sfAttempts.isEmpty) "| - | - | - | - | - | skipped |"
+              else sfAttempts.zipWithIndex.map { case (a, i) =>
+                f"| ${i + 1} | ${a.s1}%.2f | ${a.s2}%.2f | ${a.linearity}%.3f | ${a.pB}%.2f / ${a.pM}%.2f / ${a.pA}%.2f | ${if (a.cleanAt(floorFinal)) "clean" else "LOADED"} |"
+              }.mkString("\n"))
     try {
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
@@ -538,7 +645,7 @@ object Bench {
       // each overwriting the last one's story — run-to-run machine drift
       // (the dominant noise source) is auditable from the history alone
       val hist =
-        f"""{"ts":${System.currentTimeMillis / 1000},"scaling_efficiency":$eff%.3f,"min_ratio":$effMinRatio%.3f,"best":$effBest%.3f,"from_medians":$effFromMedians%.3f,"clean_pairs":$cleanN,"defended":${cleanN > 0},"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"probe_floor":$floorFinal%.2f,"sec_n":$sNmin%.2f,"sec_4n":$s4Nmin%.2f,"sf_linearity":$sfLinearity%.3f,"sf2_clean":$sf2Clean,"headline_tps":${nT / sT}%.1f,"al_round_sec":$alSec%.2f}""" + "\n"
+        f"""{"ts":${System.currentTimeMillis / 1000},"scaling_efficiency":$eff%.3f,"min_ratio":$effMinRatio%.3f,"best":$effBest%.3f,"from_medians":$effFromMedians%.3f,"clean_pairs":$cleanN,"defended":${cleanN > 0},"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"probe_floor":$floorFinal%.2f,"sec_n":$sNmin%.2f,"sec_4n":$s4Nmin%.2f,"sf_linearity":$sfLinearity%.3f,"sf2_clean":$sf2Clean,"sf_attempts":${sfAttempts.length},"headline_tps":${nT / sT}%.1f,"headline_clean":$headlineClean,"al_round_sec":$alSec%.2f,"al_round_clean":$alClean,"dim_join":"auto"}""" + "\n"
       Files.writeString(Paths.get("BENCH/history.jsonl"), hist,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

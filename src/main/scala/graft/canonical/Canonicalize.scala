@@ -45,6 +45,25 @@ object Canonicalize {
     Seq(alias, lower, folded).distinct
   }
 
+  /** [[normalForms]] as a pure Catalyst expression over an `alias`
+    * column (codegen-friendly, no UDF) — the ONE definition both
+    * [[components]]' edge derivation and the streaming incremental
+    * linker's touch detection use; if they ever diverged, the
+    * incremental path would silently under-merge. */
+  private[graft] def formsExpr: org.apache.spark.sql.Column =
+    array_distinct(array(
+      col("alias"), lower(col("alias")),
+      regexp_replace(lower(col("alias")), "[-_\\s]+", "")))
+
+  /** (entity_key, form) rows for an entity table — form keys include the
+    * kind (never merge across kinds), exactly as [[components]] builds
+    * its edges. Entity-vocab bounded. */
+  def entityForms(entities: DataFrame): DataFrame =
+    entities
+      .select(col("entity_key"), col("kind"), explode(formsExpr).as("f"))
+      .select(col("entity_key"),
+        concat_ws(" ", col("kind"), col("f")).as("form"))
+
   /** Connected components over a bipartite (vertex, form) edge list.
     *
     * Input: DataFrame [entity_key: String, kind: String, alias: String].
@@ -61,12 +80,12 @@ object Canonicalize {
     import spark.implicits._
     // (entity, form) edges; kind is part of the form key: never merge
     // across kinds (reference `stanford_preprocess.py:366-374`).
-    // normalForms as pure Catalyst exprs (codegen-friendly, no UDF).
-    // No distinct(): duplicate edges are harmless under min-aggregation
-    // and removing them would cost a full extra shuffle.
-    val formsCol = array_distinct(array(
-      $"alias", lower($"alias"),
-      regexp_replace(lower($"alias"), "[-_\\s]+", "")))
+    // normalForms as pure Catalyst exprs (codegen-friendly, no UDF) —
+    // the shared [[formsExpr]], so the incremental linker's touch
+    // detection sees exactly these edges. No distinct(): duplicate edges
+    // are harmless under min-aggregation and removing them would cost a
+    // full extra shuffle.
+    val formsCol = formsExpr
 
     // The component id IS the canonical pick: propagate the minimum of
     // struct(gaz_rank, entity_key), so gazette-born readable keys win the

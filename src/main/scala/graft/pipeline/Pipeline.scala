@@ -247,32 +247,47 @@ object Pipeline {
     * shared by the in-memory ([[runWithMetrics]]), checkpointed
     * ([[runCheckpointed]]) and streaming (foreachBatch re-link over the
     * accumulated extract table) paths. */
+  /** Global entity dedupe (one row per entity_key) — THE aggregation
+    * semantics for entity tables; the streaming incremental linker
+    * merges state + batch with the same aggregate, so any accumulation
+    * order yields the batch path's table (min/max are associative;
+    * kind is constant per key by construction — entity keys either ARE
+    * the gazette alias or embed their kind). */
+  private[graft] def dedupeEntities(entities: DataFrame): DataFrame =
+    entities.groupBy(col("entity_key"))
+      .agg(first(col("kind")).as("kind"), min(col("alias")).as("alias"),
+        max(col("from_gazette")).as("from_gazette"))
+
+  /** Canonical-key joins: positive predictions x canonical map ->
+    * [subj, pred, obj, evidence_id]. The canonical map is
+    * distinct-entity-sized: dimSide leaves the join choice to AQE by
+    * default (broadcast when measured small, shuffle join at true
+    * scale) and lets AQE-off callers force the hint. */
+  private[graft] def triplesOf(positivePreds: DataFrame,
+      canonical: DataFrame): DataFrame = {
+    val dim = (df: DataFrame) => graft.textops.TextOps.dimSide(df)
+    val cn = canonical.withColumnRenamed("entity_key", "k")
+    positivePreds
+      .join(dim(cn.withColumnRenamed("canonical", "subj")),
+        col("left_key") === col("k")).drop("k")
+      .join(dim(cn.withColumnRenamed("canonical", "obj")),
+        col("right_key") === col("k")).drop("k")
+      .select(col("subj"), col("relation").as("pred"), col("obj"),
+        col("evidence_id"))
+  }
+
   private[graft] def assembleTriples(spark: SparkSession,
       extracted: Dataset[DocExtract]): (DataFrame, () => Unit) = {
     import spark.implicits._
     val predictions = extracted.flatMap(_.predictions)
     // entities feed CC three ways (edges, initial components, canonical
     // ranking) — persist to shuffle the mention table once, not thrice
-    val entities = extracted.flatMap(_.entities)
-      .groupBy($"entity_key")
-      .agg(first($"kind").as("kind"), min($"alias").as("alias"),
-        max($"from_gazette").as("from_gazette"))
+    val entities = dedupeEntities(extracted.flatMap(_.entities).toDF())
       .persist()
-    val canonical = Canonicalize.components(spark, entities)
-      .withColumnRenamed("entity_key", "k").persist()
+    val canonical = Canonicalize.components(spark, entities).persist()
     // Everything above is lazy — the caller's first action runs ONE job:
     // preprocess (cached), CC chain, and the two canonical-key joins.
-    // The canonical map is distinct-entity-sized (vocab-bound, far below
-    // the prediction stream): dimSide leaves the choice to AQE by
-    // default (broadcast when measured small, shuffle join at true
-    // scale) and lets the AQE-off bench children force the hint.
-    val dim = (df: DataFrame) => graft.textops.TextOps.dimSide(df)
-    val triples = predictions.toDF().filter($"answer")
-      .join(dim(canonical.withColumnRenamed("canonical", "subj")),
-        $"left_key" === $"k").drop("k")
-      .join(dim(canonical.withColumnRenamed("canonical", "obj")),
-        $"right_key" === $"k").drop("k")
-      .select($"subj", $"relation".as("pred"), $"obj", $"evidence_id")
+    val triples = triplesOf(predictions.toDF().filter($"answer"), canonical)
     (triples,
       () => { entities.unpersist(); canonical.unpersist(); Caches.release() })
   }

@@ -1,15 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.canonical.Canonicalize
 import graft.pipeline.{Fs, Pipeline}
 import graft.schema.RawDoc
 
 /** Structured-Streaming ingest for the KG pipeline: the batch engine's
   * fused per-doc extract (P2-P13 + N1-N6 + R1-R8, `Pipeline.extract`)
-  * applied unchanged to a STREAM of raw documents.
+  * applied unchanged to a STREAM of raw documents, with an INCREMENTAL
+  * cross-document link.
   *
-  * Why this streams cleanly: extraction is stateless and embarrassingly
+  * Why extraction streams cleanly: it is stateless and embarrassingly
   * parallel per document — one narrow `mapPartitions` over the source,
   * no shuffle, no state store, no watermark needed. Exactly-once per
   * doc comes from the source's offset tracking PLUS an idempotent sink:
@@ -20,16 +23,43 @@ import graft.schema.RawDoc
   * ([[graft.pipeline.Checkpoint]]).
   *
   * Cross-document linking (connected-components canonicalization) is a
-  * GLOBAL computation that any new doc can reshape — it cannot be an
-  * incremental operator without approximating the reference semantics.
-  * [[runToTriples]] therefore re-links per micro-batch over the
-  * ACCUMULATED extract table (one immutable batchId-named parquet dir
-  * per micro-batch), then link/canonicalize/triple-assembly recompute
-  * from all of it — the same shape as the checkpointed batch resume, and bounded
-  * by the id/key-width extract table, never the raw text. At cluster
-  * scale the re-link amortizes to one AQE-planned join pipeline per
-  * trigger; for true continuous loads the trigger interval IS the
-  * re-link budget knob.
+  * GLOBAL computation — any new doc can reshape components. But it can
+  * still be updated incrementally WITHOUT approximation, because CC
+  * merges only travel along shared (kind, surface-form) edges: a batch
+  * can only reshape components REACHABLE from its own entities' forms.
+  * Per micro-batch the linker therefore:
+  *
+  *   1. finds the prior components TOUCHED by the batch (batch forms
+  *      joined against the accumulated entity-form table — entity-vocab
+  *      bounded, never corpus bounded);
+  *   2. re-runs CC on touched-component entities + batch entities ONLY
+  *      (the star-shape contract in [[Canonicalize.normalForms]] makes
+  *      one component-hop closure sufficient: every merge chain passes
+  *      through a batch entity, whose direct form-neighbors all lie in
+  *      touched components);
+  *   3. unions the untouched remainder of the previous canonical map —
+  *      bit-identical to a full re-link (the spec proves stream==batch);
+  *   4. rebuilds only the triples whose subject OR object component was
+  *      touched (their source predictions re-joined against the new
+  *      canonical map), keeps the rest of the previous triple table
+  *      as-is, and swaps the union into `workDir/triples`.
+  *
+  * Per-batch cost is therefore: one id-width columnar scan of the
+  * accumulated extract table (to fetch predictions touching touched
+  * components — parquet column pruning reads no text, which never
+  * leaves the extract stage anyway), plus CC + joins bounded by the
+  * touched components and the batch, NOT by the accumulated corpus.
+  * The previous O(total)-re-link-per-trigger behavior (quadratic
+  * cumulative for a long-running stream) is gone; per-batch metrics
+  * (`state/batch_N/metrics.json`) record `cc_input_entities` vs
+  * `total_entities` so the bound is auditable per trigger.
+  *
+  * Link state lives in batchId-versioned dirs (`state/batch_N`), each
+  * holding the accumulated entity table, canonical map and triple table
+  * plus a `_COMMIT` marker written last. A replayed batch N rebuilds
+  * from state N-1 (still present — only states older than N-1 are
+  * pruned) and overwrites state N with identical content, so the
+  * at-least-once contract holds for the linker too.
   */
 object StreamingExtract {
 
@@ -40,15 +70,14 @@ object StreamingExtract {
     Pipeline.extract(spark, raw, gazette, keepNegatives = false)
 
   /** End-to-end streaming sink: per micro-batch, append the batch's
-    * extract output under `workDir/extract_stream`, then rebuild
-    * `workDir/triples` from the full accumulated extract (overwrite-swap
-    * so readers never see a torn table). Returns the started query;
+    * extract output under `workDir/extract_stream`, then incrementally
+    * update the canonical map + `workDir/triples` (overwrite-swap so
+    * readers never see a torn table). Returns the started query;
     * callers own its lifecycle (`processAllAvailable`/`stop`). */
   def runToTriples(spark: SparkSession, raw: Dataset[RawDoc],
       gazette: Seq[(String, String)], workDir: String,
       trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
     val extractDir = s"$workDir/extract_stream"
-    val triplesDir = s"$workDir/triples"
     // fail fast on the pre-batch-dir layout (flat parquet files directly
     // under extract_stream): the committed source offsets would skip
     // those docs while the batch-dir read ignores their rows — silent
@@ -69,17 +98,148 @@ object StreamingExtract {
         // a replay rewrites identical content, never duplicates docs
         batch.write.mode("overwrite")
           .parquet(f"$extractDir/batch_$batchId%08d")
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val all = spark.read
-          .parquet(Fs.listDirs(extractDir, "batch_"): _*)
-          .as[Pipeline.DocExtract]
-        val (triples, cleanup) = Pipeline.assembleTriples(spark, all)
-        val tmp = triplesDir + "_tmp"
-        triples.write.mode("overwrite").parquet(tmp)
-        cleanup()
-        Fs.swapInto(tmp, triplesDir) // crash-safe; recovers stale _old itself
+        incrementalLink(batch.sparkSession, workDir, batchId)
       }
       .start()
+  }
+
+  /** One incremental link step over the just-written extract batch.
+    * Reads the batch back from its parquet dir (not the streaming
+    * Dataset — deterministic on replay) and the previous committed
+    * state; writes state `batch_<batchId>` and swaps the updated triple
+    * table into `workDir/triples`. */
+  private[graft] def incrementalLink(spark: SparkSession, workDir: String,
+      batchId: Long): Unit = {
+    import spark.implicits._
+    val extractDir = s"$workDir/extract_stream"
+    val stateRoot = s"$workDir/state"
+    val curName = f"batch_$batchId%08d"
+    val cur = s"$stateRoot/$curName"
+    // previous committed state: strictly earlier than THIS batch — a
+    // crashed attempt at this batchId may have left a partial (or even
+    // committed) state dir, which a replay must rebuild, never read
+    val prevDir = Fs.listDirs(stateRoot, "batch_")
+      .filter(d => d.split('/').last < curName)
+      .filter(d => Fs.exists(s"$d/_COMMIT"))
+      .lastOption
+
+    // local persist tracking: unpersist exactly what this step cached
+    // (not catalog-wide clearCache — the enclosing session may hold
+    // caches the caller owns)
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = {
+      persisted += df.persist(); df
+    }
+
+    val batchExtract = spark.read.parquet(s"$extractDir/$curName")
+      .as[Pipeline.DocExtract]
+    val batchEnts = cached(Pipeline.dedupeEntities(
+      batchExtract.flatMap(_.entities).toDF()))
+    val batchPreds = batchExtract.flatMap(_.predictions).toDF()
+      .filter($"answer")
+
+    val (allEnts, newCanon, triples, ccInputN, touchedN, keptPrev) =
+      prevDir match {
+        case None =>
+          val canon = cached(Canonicalize.components(spark, batchEnts))
+          (batchEnts, canon, Pipeline.triplesOf(batchPreds, canon),
+            batchEnts.count(), 0L, 0L)
+        case Some(p) =>
+          val prevEnts = cached(spark.read.parquet(s"$p/entities"))
+          val prevCanon = cached(spark.read.parquet(s"$p/canonical"))
+          val prevTriples = spark.read.parquet(s"$p/triples")
+          // 1. touched components: prior entities sharing ANY
+          //    (kind, form) with a batch entity, lifted to their
+          //    component. Both sides entity-vocab bounded.
+          val batchForms = Canonicalize.entityForms(batchEnts)
+            .select($"form").distinct()
+          val touchedKeys0 = Canonicalize.entityForms(prevEnts)
+            .join(batchForms, "form").select($"entity_key").distinct()
+          val touchedComps = cached(prevCanon.join(touchedKeys0, "entity_key")
+            .select($"canonical").distinct())
+          // every entity of a touched component (the CC re-run needs the
+          // full component, or the representative election would forget
+          // members)
+          val touchedEnts = prevEnts.join(prevCanon, "entity_key")
+            .join(touchedComps, Seq("canonical"), "leftsemi")
+            .drop("canonical")
+          // 2. CC over touched + batch only
+          val ccInput = cached(Pipeline.dedupeEntities(
+            touchedEnts.unionByName(batchEnts)))
+          val subCanon = Canonicalize.components(spark, ccInput)
+          // 3. untouched remainder keeps its canonical verbatim
+          val untouched = prevCanon
+            .join(touchedComps, Seq("canonical"), "left_anti")
+          val newCanon = cached(subCanon.unionByName(
+            untouched.select($"entity_key", $"canonical")))
+          // 4. triples: keep rows of untouched components; rebuild rows
+          //    whose subject or object component was touched, from their
+          //    source predictions (id-width columnar scan of the
+          //    accumulated extract — text never lives there)
+          val keep = prevTriples
+            .join(touchedComps.withColumnRenamed("canonical", "subj"),
+              Seq("subj"), "left_anti")
+            .join(touchedComps.withColumnRenamed("canonical", "obj"),
+              Seq("obj"), "left_anti")
+          val touchedAllKeys = cached(prevCanon
+            .join(touchedComps, Seq("canonical"), "leftsemi")
+            .select($"entity_key"))
+          val oldDirs = Fs.listDirs(extractDir, "batch_")
+            .filter(d => d.split('/').last < curName)
+          val touchedOldPreds =
+            if (oldDirs.isEmpty) batchPreds.limit(0)
+            else {
+              val oldPreds = spark.read.parquet(oldDirs: _*)
+                .as[Pipeline.DocExtract]
+                .flatMap(_.predictions).toDF().filter($"answer")
+              // OR-semi-join (left OR right key touched): two semi
+              // joins + distinct — prediction rows are value-identical
+              // duplicates when both sides match, so distinct is exact
+              oldPreds.join(touchedAllKeys
+                  .withColumnRenamed("entity_key", "left_key"),
+                  Seq("left_key"), "leftsemi")
+                .unionByName(oldPreds.join(touchedAllKeys
+                  .withColumnRenamed("entity_key", "right_key"),
+                  Seq("right_key"), "leftsemi"))
+                .distinct()
+            }
+          val rebuilt = Pipeline.triplesOf(
+            batchPreds.unionByName(touchedOldPreds), newCanon)
+          val allEnts = Pipeline.dedupeEntities(
+            prevEnts.unionByName(batchEnts))
+          (allEnts, newCanon, keep.unionByName(rebuilt),
+            ccInput.count(), touchedComps.count(), 1L)
+      }
+
+    // write state (overwrite: a replayed batch rewrites identical
+    // content), then the _COMMIT marker LAST — a crash mid-write leaves
+    // an uncommitted dir the next attempt ignores
+    allEnts.write.mode("overwrite").parquet(s"$cur/entities")
+    newCanon.write.mode("overwrite").parquet(s"$cur/canonical")
+    val persistedTriples = cached(triples)
+    persistedTriples.write.mode("overwrite").parquet(s"$cur/triples")
+    val totalEnts = spark.read.parquet(s"$cur/entities").count()
+    Fs.writeString(s"$cur/metrics.json",
+      s"""{"batch_id":$batchId,"cc_input_entities":$ccInputN,""" +
+        s""""touched_components":$touchedN,"total_entities":$totalEnts,""" +
+        s""""incremental":$keptPrev}""")
+    Fs.writeString(s"$cur/_COMMIT", "")
+    // visible table: swap a copy in, so readers never see a torn dir and
+    // the immutable state copy stays pristine for the next batch/replay
+    val triplesDir = s"$workDir/triples"
+    val tmp = triplesDir + "_tmp"
+    persistedTriples.write.mode("overwrite").parquet(tmp)
+    Fs.swapInto(tmp, triplesDir)
+    // prune states older than the one a replay of THIS batch would need
+    prevDir.foreach { p =>
+      val prevName = p.split('/').last
+      Fs.listDirs(stateRoot, "batch_")
+        .filter(d => d.split('/').last < prevName)
+        .foreach(Fs.deleteRecursive)
+    }
+    persisted.foreach(_.unpersist())
+    // components() tracks its edge cache in the shared registry — the
+    // same release the batch run handle performs post-materialize
+    graft.pipeline.Caches.release()
   }
 }

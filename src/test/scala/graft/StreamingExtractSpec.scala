@@ -3,16 +3,24 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.corpus.CorpusGen
-import graft.pipeline.Pipeline
+import graft.pipeline.{Fs, Pipeline}
 import graft.schema.RawDoc
 import graft.streaming.StreamingExtract
 
 /** Structured-Streaming ingest: the fused extract streams unchanged,
-  * and per-batch re-linking over the accumulated extract converges to
-  * exactly the batch pipeline's triples. */
+  * and the INCREMENTAL per-batch link converges to exactly the batch
+  * pipeline's triples while touching only the components the batch's
+  * entities can reach (metrics.json per state batch proves the bound). */
 class StreamingExtractSpec extends SparkSpec {
 
-  test("two micro-batches of docs yield the batch pipeline's exact triple set") {
+  private def latestMetrics(dir: String): Map[String, Long] = {
+    val state = Fs.listDirs(s"$dir/state", "batch_").last
+    val json = Fs.readString(s"$state/metrics.json")
+    "\"(\\w+)\":(\\d+)".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
+
+  test("micro-batches yield the batch pipeline's exact triple set, with bounded link input") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val sf = 0.0002
@@ -31,9 +39,14 @@ class StreamingExtractSpec extends SparkSpec {
       q.processAllAvailable()
       val mid = spark.read.parquet(s"$dir/triples").count()
       assert(mid > 0, "first micro-batch produced no triples")
+      val m0 = latestMetrics(dir)
+      assert(m0("incremental") == 0, "first batch has no prior state")
 
       ms.addData(rest)
       q.processAllAvailable()
+      val m1 = latestMetrics(dir)
+      assert(m1("incremental") == 1)
+      assert(m1("cc_input_entities") <= m1("total_entities"))
     } finally q.stop()
 
     val streamed = spark.read.parquet(s"$dir/triples")
@@ -52,9 +65,46 @@ class StreamingExtractSpec extends SparkSpec {
       .parquet(s"$dir/extract_stream/batch_*").count()
     assert(extractRows == docs.length.toLong)
     val q2 = StreamingExtract.runToTriples(spark, ms.toDS(), gazette, dir)
-    try q2.processAllAvailable() finally q2.stop()
-    assert(spark.read.parquet(s"$dir/extract_stream/batch_*").count()
-      == extractRows,
-      "restarted query replayed already-committed micro-batches")
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/extract_stream/batch_*").count()
+        == extractRows,
+        "restarted query replayed already-committed micro-batches")
+
+      // third batch: ONE tiny doc touching exactly two gazette entities.
+      // The incremental linker must (a) run CC only over the components
+      // those entities reach — far below the accumulated entity table —
+      // and (b) still produce the exact batch-pipeline triple set.
+      val tiny = RawDoc("tiny_repo", "src/t.src", "cafecafecafe", "scala",
+        s"Function ${CorpusGen.funName(0)} calls function " +
+          s"${CorpusGen.funName(1)} .\n")
+      ms.addData(Seq(tiny))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val m2 = latestMetrics(dir)
+    assert(m2("incremental") == 1)
+    assert(m2("cc_input_entities") < m2("total_entities") / 4,
+      s"tiny batch re-linked ${m2("cc_input_entities")} of " +
+        s"${m2("total_entities")} entities — the link input is not " +
+        "bounded by touched components")
+    assert(m2("touched_components") >= 1)
+
+    val tiny = RawDoc("tiny_repo", "src/t.src", "cafecafecafe", "scala",
+      s"Function ${CorpusGen.funName(0)} calls function " +
+        s"${CorpusGen.funName(1)} .\n")
+    val streamed3 = spark.read.parquet(s"$dir/triples")
+      .select("subj", "pred", "obj", "evidence_id").collect().toSet
+    val (batch3, cl3) = Pipeline.runWithCleanup(spark,
+      (docs :+ tiny).toDS(), gazette)
+    val expected3 = batch3
+      .select("subj", "pred", "obj", "evidence_id").collect().toSet
+    cl3()
+    assert(streamed3 == expected3,
+      s"after tiny batch: streamed ${streamed3.size} != " +
+        s"batch ${expected3.size}")
+    // the tiny doc's planted fact must be in the final table
+    assert(streamed3.exists(r => r.getString(0) == CorpusGen.funName(0)
+      && r.getString(1) == "calls" && r.getString(2) == CorpusGen.funName(1)))
   }
 }
