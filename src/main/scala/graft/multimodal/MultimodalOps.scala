@@ -12,13 +12,22 @@ import org.apache.spark.sql.functions._
   * JDK: true pixel dimensions + a pixel-derived luminance embedding).
   * AUDIO decode is real for formats the JDK parses
   * ([[Codecs.decodeAudio]], `javax.sound.sampled`: WAV/AIFF/AU PCM —
-  * true sample rate + frame count + a Goertzel band-energy feature).
-  * VIDEO decode (and compressed-audio formats like MP3) remain
-  * clearly-marked deterministic stubs ([[StubCodecs]]): this container
-  * ships no video codec libraries, so the stubs derive bytes->features
-  * deterministically (content hash) with the same shapes a real codec
-  * would produce. Swap [[StubCodecs]] for a JNI/javacv-backed
-  * implementation without touching the pipeline.
+  * true sample rate + frame count + a Goertzel band-energy feature;
+  * javax.sound discovers codecs via the SPI registry, so dropping an
+  * MP3 SPI jar on the classpath extends the SAME code path to MP3 with
+  * zero changes here). VIDEO decode is real for two containers:
+  * animated GIF (`javax.imageio`) and uncompressed RGB24 AVI
+  * ([[Codecs.decodeAviFrames]] — a pure-JDK RIFF walker; the DIB frame
+  * payloads need no codec). Other containers (MP4/H.264 etc.) probe a
+  * reflective javacv backend ([[ReflectiveVideoBackend]] — loaded via
+  * Class.forName when `org.bytedeco:javacv` is on the classpath, absent
+  * in this container) and otherwise fall back to clearly-marked
+  * deterministic stubs ([[StubCodecs]]).
+  *
+  * Every features/frame row carries a `decoder` field ("imageio",
+  * "javasound", "gif", "avi", "javacv", "stub") so downstream
+  * training-data pipelines can FILTER stub-derived features instead of
+  * silently training on hash noise.
   */
 object MultimodalOps {
 
@@ -33,14 +42,15 @@ object MultimodalOps {
 
   final case class ImageFeatures(
       asset_id: Long, width: Int, height: Int, channels: Int,
-      embedding: Array[Float])
+      embedding: Array[Float], decoder: String)
 
   final case class AudioFeatures(
       asset_id: Long, sample_rate: Int, n_samples: Int,
-      mfcc: Array[Float])
+      mfcc: Array[Float], decoder: String)
 
   final case class FrameSample(
-      asset_id: Long, frame_index: Int, frame_bytes: Array[Byte])
+      asset_id: Long, frame_index: Int, frame_bytes: Array[Byte],
+      decoder: String)
 
   /** Real codecs where the JDK ships one. Image decode is REAL
     * (`javax.imageio` handles PNG/JPEG/GIF/BMP with zero extra deps):
@@ -94,7 +104,7 @@ object MultimodalOps {
           }
           gy += 1
         }
-        ImageFeatures(-1, w, h, ch, emb)
+        ImageFeatures(-1, w, h, ch, emb, "imageio")
       }
     }
 
@@ -177,16 +187,26 @@ object MultimodalOps {
           feats(i) = math.log1p(power / math.max(1, frames)).toFloat
           i += 1
         }
-        AudioFeatures(-1, sr, nFrames, feats)
+        AudioFeatures(-1, sr, nFrames, feats, "javasound")
       } finally ais.close()
     }
 
-    /** Real frame extraction for the one multi-frame container the JDK
-      * ships a decoder for (animated GIF via `javax.imageio`): every
-      * `every`-th frame decoded and re-encoded as standalone PNG bytes.
-      * Returns None for bytes no multi-frame-capable reader recognizes
-      * (MP4 etc.) so the caller can fall back to [[StubCodecs]]. */
+    /** Real frame extraction, tried in order of decode fidelity:
+      * animated GIF (`javax.imageio`), uncompressed RGB24 AVI
+      * ([[decodeAviFrames]], pure-JDK RIFF walk), then the reflective
+      * javacv backend when its jars are present. Every `every`-th frame
+      * is decoded and re-encoded as standalone PNG bytes; the String is
+      * the decoder label for the row's `decoder` field. Returns None
+      * for bytes none of the real paths recognize so the caller can
+      * fall back to [[StubCodecs]]. */
     def sampleFrames(bytes: Array[Byte],
+        every: Int): Option[(String, Seq[Array[Byte]])] =
+      sampleGifFrames(bytes, every).map(("gif", _))
+        .orElse(decodeAviFrames(bytes, every).map(("avi", _)))
+        .orElse(ReflectiveVideoBackend.sampleFrames(bytes, every)
+          .map(("javacv", _)))
+
+    private def sampleGifFrames(bytes: Array[Byte],
         every: Int): Option[Seq[Array[Byte]]] =
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -209,6 +229,133 @@ object MultimodalOps {
           } finally { reader.dispose(); iis.close() }
         }
       } catch { case _: Exception => None }
+
+    /** REAL video decode for uncompressed RGB24 AVI (biCompression=0,
+      * the `DIB ` handler): the RIFF container is a length-prefixed
+      * chunk tree and the `00db`/`00dc` payloads are raw bottom-up BGR
+      * rasters — no codec needed, just the public RIFF/BITMAPINFOHEADER
+      * layout. Every `every`-th frame becomes standalone PNG bytes.
+      * None for anything that is not a RIFF/AVI with uncompressed
+      * 24-bit frames (compressed AVIs route to the javacv seam/stub). */
+    def decodeAviFrames(bytes: Array[Byte],
+        every: Int): Option[Seq[Array[Byte]]] = {
+      def u32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      def fourcc(o: Int): String =
+        new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return None
+      try {
+        var width = 0; var height = 0; var bits = 0
+        var compression = -1L
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        // walk the chunk tree: LIST chunks recurse, 'strf' carries the
+        // BITMAPINFOHEADER, '00db'/'00dc' are frame payloads (in the
+        // single-video-stream files this decoder supports)
+        def walk(from: Int, to: Int): Unit = {
+          var o = from
+          while (o + 8 <= to) {
+            val id = fourcc(o)
+            val sz = u32(o + 4).toInt
+            val body = o + 8
+            if (body + sz > bytes.length) return // truncated: stop
+            if (id == "LIST" && sz >= 4) walk(body + 4, body + sz)
+            else if (id == "strf" && sz >= 40 && compression == -1L) {
+              // first strf: BITMAPINFOHEADER (biSize u32, biWidth s32,
+              // biHeight s32, biPlanes u16, biBitCount u16,
+              // biCompression u32, ...)
+              width = u32(body + 4).toInt
+              height = u32(body + 8).toInt
+              bits = (u32(body + 12) >> 16).toInt & 0xffff
+              compression = u32(body + 16)
+            } else if ((id.endsWith("db") || id.endsWith("dc")) && sz > 0)
+              frames += ((body, sz))
+            o = body + sz + (sz & 1) // chunks pad to even offsets
+          }
+        }
+        walk(12, bytes.length)
+        if (compression != 0L || bits != 24 || width <= 0 || height <= 0 ||
+            frames.isEmpty) return None
+        val rowBytes = (width * 3 + 3) & ~3 // DIB rows pad to 4 bytes
+        val expect = rowBytes * height
+        Some(frames.zipWithIndex.toSeq
+          .collect { case ((off, sz), i) if i % math.max(1, every) == 0 =>
+            require(sz >= expect, s"frame $i: $sz bytes < expected $expect")
+            val img = new java.awt.image.BufferedImage(width, height,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < height) {
+              // DIB rasters are BOTTOM-UP: file row y is image row
+              // height-1-y; pixels are B,G,R triplets
+              val row = off + y * rowBytes
+              var x = 0
+              while (x < width) {
+                val b = bytes(row + x * 3) & 0xff
+                val g = bytes(row + x * 3 + 1) & 0xff
+                val r = bytes(row + x * 3 + 2) & 0xff
+                img.setRGB(x, height - 1 - y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          })
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Classpath-probed javacv backend for containers the JDK cannot
+    * decode (MP4/H.264/VP9...). Loaded reflectively so the library has
+    * ZERO compile-time dependency on `org.bytedeco:javacv` — absent
+    * jars mean [[available]] is false and callers fall through to the
+    * stub; present jars light the path up with no code change. The
+    * reflective surface is the minimal public FFmpegFrameGrabber +
+    * Java2DFrameConverter API. */
+  object ReflectiveVideoBackend extends Serializable {
+    @transient lazy val grabberClass: Option[Class[_]] =
+      try Some(Class.forName("org.bytedeco.javacv.FFmpegFrameGrabber"))
+      catch { case _: Throwable => None }
+
+    def available: Boolean = grabberClass.isDefined
+
+    def sampleFrames(bytes: Array[Byte],
+        every: Int): Option[Seq[Array[Byte]]] =
+      grabberClass.flatMap { cls =>
+        try {
+          val grabber = cls
+            .getConstructor(classOf[java.io.InputStream])
+            .newInstance(new java.io.ByteArrayInputStream(bytes))
+          val convCls = Class.forName("org.bytedeco.javacv.Java2DFrameConverter")
+          val conv = convCls.getConstructor().newInstance()
+          val frameCls = Class.forName("org.bytedeco.javacv.Frame")
+          val start = cls.getMethod("start")
+          val grabImage = cls.getMethod("grabImage")
+          val stop = cls.getMethod("stop")
+          val getImage = convCls.getMethod("getBufferedImage", frameCls)
+          start.invoke(grabber)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var i = 0
+          var frame = grabImage.invoke(grabber)
+          while (frame != null) {
+            if (i % math.max(1, every) == 0) {
+              val img = getImage.invoke(conv, frame)
+                .asInstanceOf[java.awt.image.BufferedImage]
+              if (img != null) {
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "png", bos)
+                out += bos.toByteArray
+              }
+            }
+            i += 1
+            frame = grabImage.invoke(grabber)
+          }
+          stop.invoke(grabber)
+          if (out.isEmpty) None else Some(out.toSeq)
+        } catch { case _: Throwable => None }
+      }
   }
 
   /** === STUB === deterministic stand-ins for codecs the JDK does NOT
@@ -227,12 +374,12 @@ object MultimodalOps {
       val hgt = meta.get("height").map(_.toInt).getOrElse(64)
       val emb = Array.tabulate(16)(i =>
         ((h(bytes, i) % 1000) / 1000.0f))
-      ImageFeatures(-1, w, hgt, 3, emb)
+      ImageFeatures(-1, w, hgt, 3, emb, "stub")
     }
     def decodeAudio(bytes: Array[Byte], meta: Map[String, String]): AudioFeatures = {
       val sr = meta.get("sample_rate").map(_.toInt).getOrElse(16000)
       val mfcc = Array.tabulate(13)(i => ((h(bytes, 100 + i) % 1000) / 1000.0f))
-      AudioFeatures(-1, sr, bytes.length, mfcc)
+      AudioFeatures(-1, sr, bytes.length, mfcc, "stub")
     }
     /** Every k-th fixed-size slice of the byte stream as a "frame". */
     def sampleFrames(bytes: Array[Byte], every: Int, frameSize: Int): Seq[Array[Byte]] =
@@ -269,19 +416,22 @@ object MultimodalOps {
 
   /** Video frame sampling: flatMap — output can exceed input rows, so
     * this runs AFTER the repartition (never explodes a skewed input
-    * partition further). Animated GIF decodes for real
-    * ([[Codecs.sampleFrames]], PNG bytes per sampled frame); other
-    * containers fall back to the byte-slice stub. */
+    * partition further). Animated GIF and uncompressed AVI decode for
+    * real ([[Codecs.sampleFrames]], PNG bytes per sampled frame), other
+    * containers probe the javacv seam and then fall back to the
+    * byte-slice stub — each row's `decoder` field says which path
+    * produced it. */
   def sampleVideoFrames(spark: SparkSession, assets: Dataset[Asset],
       every: Int = 10, frameSize: Int = 256): Dataset[FrameSample] = {
     import spark.implicits._
     assets.filter(_.modality == "video")
       .repartition(col("asset_id"))
       .flatMap { a =>
-        Codecs.sampleFrames(a.bytes, every)
-          .getOrElse(StubCodecs.sampleFrames(a.bytes, every, frameSize))
-          .zipWithIndex
-          .map { case (f, i) => FrameSample(a.asset_id, i, f) }
+        val (dec, frames) = Codecs.sampleFrames(a.bytes, every)
+          .getOrElse(("stub",
+            StubCodecs.sampleFrames(a.bytes, every, frameSize)))
+        frames.zipWithIndex
+          .map { case (f, i) => FrameSample(a.asset_id, i, f, dec) }
       }
   }
 

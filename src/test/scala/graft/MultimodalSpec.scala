@@ -43,6 +43,7 @@ class MultimodalSpec extends SparkSpec {
     // embedding dark on the left half, light on the right
     val f = MultimodalOps.Codecs.decodeImage(png, Map.empty)
     assert(f.width == 32 && f.height == 16 && f.channels == 3)
+    assert(f.decoder == "imageio")
     assert(f.embedding.length == 16)
     for (row <- 0 until 4) {
       assert(f.embedding(row * 4) < 0.1,
@@ -68,6 +69,8 @@ class MultimodalSpec extends SparkSpec {
       Map("width" -> "64", "height" -> "48"))
     assert(f.width == 64 && f.height == 48)
     assert(f.embedding.length == 16)
+    assert(f.decoder == "stub",
+      "stub-derived features must be filterable by the decoder field")
   }
 
   test("audio features carry sample-rate metadata and 13 MFCC slots") {
@@ -103,6 +106,7 @@ class MultimodalSpec extends SparkSpec {
     val f = MultimodalOps.Codecs.decodeAudio(wav, Map.empty)
     assert(f.sample_rate == sr)
     assert(f.n_samples == n)
+    assert(f.decoder == "javasound")
     assert(f.mfcc.length == 13)
     // band centers are (i+1)/56 * sampleRate; 1000 Hz lands on i=6
     val peak = f.mfcc.zipWithIndex.maxBy(_._1)._2
@@ -143,8 +147,9 @@ class MultimodalSpec extends SparkSpec {
     // direct decode: frames 0, 2, 4 as standalone PNGs with true dims
     val frames = MultimodalOps.Codecs.sampleFrames(gif, every = 2)
     assert(frames.isDefined, "GIF bytes must take the real decode path")
-    assert(frames.get.length == 3)
-    frames.get.foreach { png =>
+    assert(frames.get._1 == "gif")
+    assert(frames.get._2.length == 3)
+    frames.get._2.foreach { png =>
       val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
       assert(img != null && img.getWidth == 20 && img.getHeight == 10)
     }
@@ -157,10 +162,80 @@ class MultimodalSpec extends SparkSpec {
       .sampleVideoFrames(spark, assets, every = 2).collect()
     assert(viaSpark.length == 3)
     assert(viaSpark.map(_.frame_index).sorted.toSeq == Seq(0, 1, 2))
+    assert(viaSpark.forall(_.decoder == "gif"))
 
     // non-GIF bytes decline the real path (stub fallback preserved)
     assert(MultimodalOps.Codecs
       .sampleFrames(Array.fill[Byte](64)(7), 2).isEmpty)
+  }
+
+  test("uncompressed RGB24 AVI decodes to real PNG frames (pure-JDK RIFF walk)") {
+    import javax.imageio.ImageIO
+    // hand-assemble a real 4-frame uncompressed AVI (RIFF spec layout):
+    // 4x2 px, 24-bit DIB frames, top row red / bottom row blue so the
+    // bottom-up raster flip is observable
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val (w, h) = (4, 2)
+    val rowBytes = (w * 3 + 3) & ~3
+    // BITMAPINFOHEADER: size, width, height, planes, bitcount=24,
+    // compression=0 (BI_RGB), sizeImage, 4x reserved
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(rowBytes * h) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0)
+    val strh = "vids".getBytes("US-ASCII") ++
+      "DIB ".getBytes("US-ASCII") ++ new Array[Byte](48)
+    // one DIB frame: BOTTOM-UP rows, BGR pixels — stored row 0 is the
+    // image's bottom row (solid blue), stored row 1 the top (solid red)
+    val frameBody =
+      Array.fill(w)(Array[Byte](-1, 0, 0)).flatten ++        // blue row
+        Array.fill(w)(Array[Byte](0, 0, -1)).flatten          // red row
+    assert(frameBody.length == rowBytes * h)
+    val movi = list("movi",
+      (0 until 4).flatMap(_ => chunk("00db", frameBody)).toArray)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+
+    // direct decode: frames 0 and 2, true dims, raster flipped upright
+    val dec = MultimodalOps.Codecs.sampleFrames(avi, every = 2)
+    assert(dec.isDefined, "uncompressed AVI must take the real decode path")
+    assert(dec.get._1 == "avi")
+    assert(dec.get._2.length == 2)
+    dec.get._2.foreach { png =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == 4 && img.getHeight == 2)
+      assert((img.getRGB(0, 0) & 0xffffff) == 0xff0000, "top row red")
+      assert((img.getRGB(0, 1) & 0xffffff) == 0x0000ff, "bottom row blue")
+    }
+
+    // through the Spark batch path, decoder field carried per row
+    import spark.implicits._
+    val assets = Seq(MultimodalOps.Asset(13L, 1L, "video", avi,
+      Map.empty[String, String])).toDS()
+    val viaSpark = MultimodalOps
+      .sampleVideoFrames(spark, assets, every = 2).collect()
+    assert(viaSpark.length == 2)
+    assert(viaSpark.forall(_.decoder == "avi"))
+
+    // this container ships no javacv jars: the reflective seam reports
+    // unavailable, and compressed/unknown containers fall to the stub
+    // with the decoder field saying so
+    assert(!MultimodalOps.ReflectiveVideoBackend.available)
+    val junk = Seq(MultimodalOps.Asset(14L, 1L, "video",
+      Array.fill[Byte](512)(9), Map.empty[String, String])).toDS()
+    val stubbed = MultimodalOps
+      .sampleVideoFrames(spark, junk, every = 2, frameSize = 128).collect()
+    assert(stubbed.nonEmpty && stubbed.forall(_.decoder == "stub"))
   }
 
   test("video frame sampling emits every k-th fixed-size frame") {
