@@ -335,25 +335,16 @@ object Pipeline {
       gazette: Seq[(String, String)]): DataFrame =
     runWithCleanup(spark, raw, gazette)._1
 
-  /** Materialize triples + per-partition lineage manifest (north rule:
-    * resumable per stage). Bucketing analog in plain parquet: repartition
-    * by hash(subj) so each output file is a subject bucket. Run-level
-    * `metrics` (e.g. truncated_segments) land in `_manifest/metrics.json`. */
+  /** Materialize triples through the resolved [[graft.sources.TripleSink]]
+    * (north rule: partitioned, subject-hash-bucketed triple tables).
+    * With the Iceberg Spark runtime on the classpath this lands a real
+    * bucketed Iceberg table (snapshot-isolated, manifest-pruned); in
+    * this sandbox it is the plain-parquet analog — partitionBy(pred) +
+    * hash(subj) bucket files + a `_manifest` lineage dir. Run-level
+    * `metrics` (e.g. truncated_segments) version with the data either
+    * way (`metrics.json` / table properties). */
   def materialize(spark: SparkSession, triples: DataFrame, outDir: String,
-      buckets: Int = 32, metrics: Map[String, Long] = Map.empty): Unit = {
-    import spark.implicits._
-    val t = triples.repartition(buckets, hash($"subj"))
-      .sortWithinPartitions($"subj", $"pred", $"obj")
-    t.write.mode("overwrite").partitionBy("pred").parquet(s"$outDir/triples")
-    val manifest = spark.read.parquet(s"$outDir/triples")
-      .groupBy($"pred", spark_partition_id().as("partition"))
-      .agg(count(lit(1)).as("triples"),
-        approx_count_distinct($"subj").as("distinct_subj"))
-    manifest.coalesce(1).write.mode("overwrite")
-      .json(s"$outDir/_manifest")
-    if (metrics.nonEmpty)
-      Fs.writeString(s"$outDir/_manifest/metrics.json",
-        metrics.map { case (k, v) => s""""$k":$v""" }
-          .mkString("{", ",", "}"))
-  }
+      buckets: Int = 32, metrics: Map[String, Long] = Map.empty): Unit =
+    graft.sources.TripleSink.resolve()
+      .write(spark, triples, outDir, buckets, metrics)
 }

@@ -105,6 +105,17 @@ class PipelineSpec extends SparkSpec {
     h.cleanup()
   }
 
+  test("TripleSink seam: no Iceberg runtime here -> parquet analog resolved") {
+    // this container ships no Iceberg jars (offline resolver): the
+    // reflective probe must say so and resolve() must fall back to the
+    // parquet bucket-analog — the Iceberg path is exercised for real
+    // only on clusters that carry iceberg-spark-runtime (PLANS.md
+    // documents the statement-level mapping)
+    assert(!graft.sources.IcebergTripleSink.available)
+    assert(graft.sources.TripleSink.resolve() eq
+      graft.sources.ParquetTripleSink)
+  }
+
   test("nerCache evicts a stopped session's tries on the next session's insert") {
     val mini = Seq(("parse_header_0", "FUNCTION"))
     Pipeline.cachedNerFor("app-A", 0L,
