@@ -82,4 +82,40 @@ object IobChunker {
           (c.start until c.end).map(t => if (t == c.start) s"B-$l" else s"I-$l")
       }
     }.distinct.sorted
+
+  /** PTB-convention escaping for parse leaves (the reference's R7
+    * bracket translation applied in reverse position: brackets inside a
+    * tree would break re-parsing). */
+  private def leaf(tag: String, token: String): String = {
+    val t = token.replace("(", "-LRB-").replace(")", "-RRB-")
+    s"($tag $t)"
+  }
+
+  /** One sentence's shallow parse as a bracketed s-expression —
+    * `S -> chunk -> preterminal -> token`, the storage form of the
+    * reference's `syntactic_sentences` column (`models.py:86`):
+    * chunked runs become `(NP (NN foo) ...)`, unchunked tokens sit
+    * directly under S as `(tag token)`. Deterministic in (tokens,
+    * postags). */
+  def sexpr(tokens: Seq[String], postags: Seq[String]): String = {
+    require(tokens.length == postags.length,
+      s"${tokens.length} tokens vs ${postags.length} tags")
+    val parts = chunks(postags).map { c =>
+      val leaves = (c.start until c.end)
+        .map(i => leaf(postags(i), tokens(i)))
+      c.label match {
+        case None => leaves.mkString(" ")
+        case Some(l) => s"($l ${leaves.mkString(" ")})"
+      }
+    }
+    s"(S ${parts.mkString(" ")})"
+  }
+
+  /** Per-sentence parses for a whole document (parallel arrays +
+    * sentence boundary indices, the [[graft.schema.Doc]] layout). */
+  def docParses(tokens: Array[String], postags: Array[String],
+      sentences: Array[Int]): Array[String] =
+    sentences.sliding(2).collect { case Array(a, b) if b > a =>
+      sexpr(tokens.slice(a, b).toSeq, postags.slice(a, b).toSeq)
+    }.toArray
 }
