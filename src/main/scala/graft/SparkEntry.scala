@@ -215,6 +215,18 @@ object SparkEntry {
         .select(col("vec_id").cast("long").as("id"), col("embedding"))
       SimSearch.lshTopK(e.where(col("id") < 20), e, 5)
     }),
+    "e5_ivf_topk" -> ((s, d) => {
+      // IVF scale path: 8 seed centroids (vec_id < 8 — deterministic
+      // and mirrored verbatim in the oracle; a production run feeds
+      // k-means-trained centroids, the operator is agnostic), 3 probed
+      // cells per query, exact-cosine re-rank
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("id"), col("embedding"))
+      val cents = e.where(col("id") < 8)
+        .select(col("id").as("centroid_id"), col("embedding"))
+      SimSearch.ivfTopK(e.where(col("id") < 20), e, cents,
+        nprobe = 3, k = 5)
+    }),
     "e3_embedding_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").cast("long").as("id"), col("embedding"))
@@ -651,6 +663,35 @@ object SparkEntry {
         |  ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS ngram_jaccard
         |FROM pairs p JOIN dt da ON p.a = da.doc_id JOIN dt db ON p.b = db.doc_id""".stripMargin,
+    "e5_ivf_topk" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+        |             CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT id AS cid, emb AS cemb FROM e WHERE id < 8),
+        |cc AS (SELECT e.id, cent.cid,
+        |    ROUND(list_dot_product(e.emb, cent.cemb)
+        |      / (sqrt(list_dot_product(e.emb, e.emb))
+        |       * sqrt(list_dot_product(cent.cemb, cent.cemb))), 6) AS ccos
+        |  FROM e CROSS JOIN cent),
+        |assign AS (SELECT id AS neighbor_id, cell FROM (
+        |    SELECT id, cid AS cell, ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY ccos DESC, cid ASC) AS rn FROM cc) WHERE rn = 1),
+        |probes AS (SELECT id AS query_id, cell FROM (
+        |    SELECT id, cid AS cell, ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY ccos DESC, cid ASC) AS rn FROM cc WHERE id < 20)
+        |  WHERE rn <= 3),
+        |cand AS (SELECT query_id, neighbor_id
+        |  FROM probes JOIN assign USING (cell)
+        |  WHERE query_id <> neighbor_id),
+        |s AS (SELECT query_id, neighbor_id,
+        |    ROUND(list_dot_product(q.emb, n.emb)
+        |      / (sqrt(list_dot_product(q.emb, q.emb))
+        |       * sqrt(list_dot_product(n.emb, n.emb))), 6) AS cos
+        |  FROM cand JOIN e q ON cand.query_id = q.id
+        |            JOIN e n ON cand.neighbor_id = n.id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank FROM s)
+        |WHERE rank <= 5""".stripMargin,
     "e1_cosine_topk" ->
       """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
         |             CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

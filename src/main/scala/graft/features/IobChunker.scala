@@ -118,4 +118,117 @@ object IobChunker {
     sentences.sliding(2).collect { case Array(a, b) if b > a =>
       sexpr(tokens.slice(a, b).toSeq, postags.slice(a, b).toSeq)
     }.toArray
+
+  // --- consuming the stored parse -----------------------------------
+  //
+  // The reference's tree walks operate on the STORED tree
+  // (`segment.lex_trees`), not on the tag arrays; the walks below do
+  // the same over `Doc.parses`, so the column is consumable exactly
+  // the way `syntactic_sentences` was meant to be. `FeatureConfigSpec`
+  // proves them equal to the tag-derived `chunkTags`/`iobChains` on
+  // pipeline output — the stored parse carries everything F22 needs.
+
+  sealed trait Tree
+  final case class Leaf(tag: String, token: String) extends Tree
+  final case class Node(label: String, children: Seq[Tree]) extends Tree
+
+  /** Parse one stored s-expression back into its tree. Inverse of
+    * [[sexpr]] up to the standard PTB escaping ambiguity (a literal
+    * source token `-LRB-` and an escaped `(` both read back as `(` —
+    * the same convention the reference's R7 translation commits to). */
+  def parseSexpr(s: String): Tree = {
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(' || c == ')') { toks += c.toString; i += 1 }
+      else if (c.isWhitespace) i += 1
+      else {
+        var j = i
+        while (j < s.length && !s.charAt(j).isWhitespace &&
+          s.charAt(j) != '(' && s.charAt(j) != ')') j += 1
+        toks += s.substring(i, j)
+        i = j
+      }
+    }
+    var pos = 0
+    def unescape(t: String): String =
+      t.replace("-LRB-", "(").replace("-RRB-", ")")
+    def node(): Tree = {
+      require(toks(pos) == "(", s"expected ( at $pos in: $s")
+      pos += 1
+      val label = toks(pos); pos += 1
+      if (toks(pos) != "(" && toks(pos) != ")") {
+        // preterminal: exactly one atom child
+        val tok = toks(pos); pos += 1
+        require(toks(pos) == ")", s"unterminated leaf at $pos in: $s")
+        pos += 1
+        Leaf(label, unescape(tok))
+      } else {
+        val children = scala.collection.mutable.ArrayBuffer.empty[Tree]
+        while (toks(pos) == "(") children += node()
+        require(toks(pos) == ")", s"unterminated node at $pos in: $s")
+        pos += 1
+        Node(label, children.toSeq)
+      }
+    }
+    val root = node()
+    require(pos == toks.length, s"trailing content after tree: $s")
+    root
+  }
+
+  /** (tag, token) leaves of a stored parse, in token order. */
+  def leavesOf(parse: String): Seq[(String, String)] = {
+    def walk(t: Tree): Seq[(String, String)] = t match {
+      case Leaf(tag, token) => Seq((tag, token))
+      case Node(_, cs) => cs.flatMap(walk)
+    }
+    walk(parseSexpr(parse))
+  }
+
+  /** `chunk_tag` walked from the stored tree (`lex_features.py:41-57`):
+    * per leaf, the node two levels up — `O` when that is the root,
+    * else `{B|I}-<label>` by position inside the chunk node. Distinct
+    * + sorted like [[chunkTags]]. */
+  def chunkTagsOfParse(parse: String): Seq[String] =
+    walkIob(parse)._1
+
+  /** `iob_chain` walked from the stored tree (`lex_features.py:60-71`):
+    * the "/"-joined modifier-label chain along `path[:-1]` — `""` for
+    * root-level leaves. Distinct + sorted like [[iobChains]]. */
+  def iobChainsOfParse(parse: String): Seq[String] =
+    walkIob(parse)._2
+
+  private def walkIob(parse: String): (Seq[String], Seq[String]) = {
+    val tags = scala.collection.mutable.ArrayBuffer.empty[String]
+    val chains = scala.collection.mutable.ArrayBuffer.empty[String]
+    // path = labels of the nodes ABOVE the preterminal, innermost
+    // first; the root's label is excluded (reference: tag `O` exactly
+    // when `path[:-2]` is the root, chain slice drops the root too).
+    // `posInParent` = the child's index inside its parent node — for a
+    // leaf under a chunk that is its position in the chunk (B vs I).
+    def walk(t: Tree, path: List[String], posInParent: Int): Unit =
+      t match {
+        case Leaf(_, _) =>
+          path match {
+            case Nil => tags += "O"; chains += ""
+            case chunk :: above =>
+              val iob = (if (posInParent == 0) "B-" else "I-") + chunk
+              tags += iob
+              // shallow tree: chain == iob; a deeper grammar joins the
+              // outer modifier labels in front — same walk either way
+              chains += (iob :: above).reverse.mkString("/")
+          }
+        case Node(label, cs) =>
+          cs.zipWithIndex.foreach { case (c, i) =>
+            walk(c, label :: path, i)
+          }
+      }
+    parseSexpr(parse) match {
+      case Node(_, cs) =>
+        cs.zipWithIndex.foreach { case (c, i) => walk(c, Nil, i) }
+      case Leaf(_, _) => tags += "O"; chains += ""
+    }
+    (tags.distinct.sorted.toSeq, chains.distinct.sorted.toSeq)
+  }
 }

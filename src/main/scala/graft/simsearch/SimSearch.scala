@@ -149,6 +149,87 @@ object SimSearch {
       .where(col("cos") >= threshold)
   }
 
+  /** IVF cell assignment: each vector to its single nearest centroid
+    * (cosine, rounded to 6 — the cross-engine convention — ties to the
+    * smaller centroid_id). `centroids` is a quantizer-sized DIMENSION
+    * table [centroid_id: long, embedding] — k cells, never
+    * corpus-sized — so the explicit broadcast is safe by contract; at
+    * 100 TB the centroids come from an offline sample (k-means or any
+    * quantizer — the operator is agnostic to how they were trained).
+    * Shape: broadcast nested-loop fan-out (k rows per vector, narrow)
+    * then a map-side-combinable argmax groupBy — the only shuffle
+    * carries (id, cell) id-width rows. Returns [id, cell]. */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.select(col("centroid_id").cast("long")
+      .as("centroid_id"), col("embedding").as("cemb")))
+    vectors.select(col("id"), col("embedding")).crossJoin(c)
+      .select(col("id"),
+        round(cosine(col("embedding"), col("cemb")), 6).as("ccos"),
+        col("centroid_id"))
+      .groupBy(col("id"))
+      // argmax as an algebraic max over (cos, -centroid_id): highest
+      // cosine wins, ties to the smallest centroid id — deterministic
+      // and map-side combinable (vs a row_number window's full sort)
+      .agg(max(struct(col("ccos").as("c"),
+        (-col("centroid_id")).as("nid"))).as("m"))
+      .select(col("id"), (-col("m.nid")).as("cell"))
+  }
+
+  /** The query side of IVF: each query's `nprobe` nearest cells
+    * (same rounded-cosine ordering as [[ivfAssign]]). Returns
+    * [id, cell], `nprobe` rows per query. */
+  def ivfProbes(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val c = broadcast(centroids.select(col("centroid_id").cast("long")
+      .as("centroid_id"), col("embedding").as("cemb")))
+    val scored = queries.select(col("id"), col("embedding")).crossJoin(c)
+      .select(col("id"),
+        round(cosine(col("embedding"), col("cemb")), 6).as("ccos"),
+        col("centroid_id"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nprobe)
+      .select(col("id"), col("centroid_id").as("cell"))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the second scale path beside the
+    * OR-banded LSH. Corpus vectors live in exactly ONE cell each (so
+    * candidate pairs are unique by construction — no cross-band dedup
+    * shuffle, the structural advantage over [[lshTopK]]); queries probe
+    * their `nprobe` nearest cells; exact cosine re-ranks. Candidates
+    * meet in ONE equi-join on the cell id — with balanced cells the
+    * pair count is O(|corpus| * nprobe / k_cells), never O(n^2) — and
+    * the join carries id-width rows; embeddings re-attach from the
+    * dimension side (AQE-decided, see [[lshNearDupPairs]]). At corpus
+    * scale the assignment is the partition layout: persist
+    * [id, cell] bucketed by cell and the probe join prunes to the
+    * touched cells only. Recall gate (clustered vectors) in
+    * SimSearchSpec; cross-engine exactness via the `e5_ivf_topk`
+    * DuckDB oracle. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cAssign = ivfAssign(corpus, centroids)
+      .select(col("id").as("neighbor_id"), col("cell"))
+    val qProbes = ivfProbes(queries, centroids, nprobe)
+      .select(col("id").as("query_id"), col("cell"))
+    val cand = qProbes.join(cAssign, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cand
+      .join(graft.textops.TextOps.dimSide(queries.select(
+        col("id").as("query_id"), col("embedding").as("qe"))), "query_id")
+      .join(graft.textops.TextOps.dimSide(corpus.select(
+        col("id").as("neighbor_id"), col("embedding").as("ce"))),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Approximate top-k: candidates restricted to the query's OR-band
     * buckets, deduped across bands, re-ranked by exact cosine. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,

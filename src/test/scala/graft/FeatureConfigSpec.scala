@@ -94,6 +94,36 @@ class FeatureConfigSpec extends SparkSpec {
       p.startsWith("(S ") && p.endsWith(")")))
   }
 
+  test("stored parse is consumable: tree walks equal the tag-derived F22 features") {
+    import graft.features.IobChunker
+    // round trip incl. PTB bracket escaping
+    val toks = Seq("The", "dog", "saw", "(", "John", ")", ".")
+    val tags = Seq("DT", "NN", "VBD", "-LRB-", "NNP", "-RRB-", ".")
+    val p = IobChunker.sexpr(toks, tags)
+    assert(IobChunker.leavesOf(p) == tags.zip(toks))
+    assert(IobChunker.chunkTagsOfParse(p) == IobChunker.chunkTags(tags))
+    assert(IobChunker.iobChainsOfParse(p) == IobChunker.iobChains(tags))
+    // pipeline output: every stored sentence parse walks to the same
+    // feature sets as the tag arrays it was built from
+    val raw = graft.schema.RawDoc("r", "p", "c", "scala",
+      "Function alpha_0 calls function beta_1 . Class Gamma2 extends class Delta3 .\n")
+    val d = graft.pipeline.Pipeline.preprocessDoc(raw,
+      new graft.preprocess.LiteralNer(Seq(
+        ("alpha_0", "FUNCTION"), ("beta_1", "FUNCTION")))).doc
+    d.sentences.sliding(2).zip(d.parses.iterator).foreach {
+      case (Array(a, b), parse) =>
+        val sTags = d.postags.slice(a, b).toSeq
+        val sToks = d.tokens.slice(a, b).toSeq
+        assert(IobChunker.leavesOf(parse).map(_._1) == sTags)
+        assert(IobChunker.leavesOf(parse).map(_._2) == sToks)
+        assert(IobChunker.chunkTagsOfParse(parse) ==
+          IobChunker.chunkTags(sTags))
+        assert(IobChunker.iobChainsOfParse(parse) ==
+          IobChunker.iobChains(sTags))
+      case _ => ()
+    }
+  }
+
   test("S3: lowercase-unless-acronym normalizer (literal.py:109-119)") {
     assert(Sources.toLowerNormalizer("The NASA Space Program") ==
       "the NASA space program")

@@ -53,6 +53,36 @@ class SimSearchSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH near-dup recall $recall < 0.9")
   }
 
+  test("IVF: one cell per vector, unique candidates, top-1 recall on probed clusters") {
+    val corpus = clustered
+    // centroids = one seed per cluster (v = 0 copies): the operator
+    // takes ANY centroid table; here the quantizer is cluster-aligned
+    // so nprobe=1 must already recover the true neighborhood
+    val cents = corpus.where($"id" % 4 === 0)
+      .select(($"id" / 4).cast("long").as("centroid_id"), $"embedding")
+    // structural contract: exactly ONE cell per corpus vector (this is
+    // what makes IVF candidates duplicate-free without a dedup shuffle)
+    val assign = SimSearch.ivfAssign(corpus, cents)
+    assert(assign.count() == corpus.count())
+    assert(assign.select("id").distinct().count() == corpus.count())
+    // cluster-aligned quantizer ⇒ every member lands in its own cluster's cell
+    val misassigned = assign
+      .where(($"id" / 4).cast("long") =!= $"cell").count()
+    assert(misassigned == 0, s"$misassigned vectors left their cluster cell")
+    val queries = corpus.where($"id" % 4 === 1)
+    val ivf = SimSearch.ivfTopK(queries, corpus, cents, nprobe = 1, k = 3)
+    // candidate uniqueness: (query, neighbor) appears at most once
+    val cand = ivf.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    assert(cand.length == cand.distinct.length)
+    // with the aligned quantizer, nprobe=1 top-1 == exact top-1
+    val exactTop = SimSearch.cosineTopK(queries, corpus, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivfTop = ivf.where($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(exactTop == ivfTop)
+  }
+
   test("banded lshTopK finds the true nearest neighbor for most queries") {
     val corpus = clustered
     val queries = corpus.where($"id" % 4 === 0) // one per cluster
