@@ -204,6 +204,8 @@ object SparkEntry {
     }),
     "d9_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "d13_tfidf" -> ((s, d) => TextOps.tfidfTopK(t(s, d, "documents"))),
+    "d15_repetition" -> ((s, d) =>
+      TextOps.repetitionScores(t(s, d, "documents"))),
     // --- similarity search: embeddings ---------------------------------
     "e1_cosine_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -620,6 +622,34 @@ object SparkEntry {
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank FROM s)
         |WHERE rank <= 3""".stripMargin,
+    "d15_repetition" ->
+      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+        |    string_split(text, chr(10)) AS lines,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, length(text) AS n_chars,
+        |    len(lines) AS n_lines,
+        |    len(list_distinct(lines)) AS n_distinct_lines,
+        |    COALESCE(list_sum(list_transform(lines,
+        |      x -> length(x))), 0) AS line_chars,
+        |    COALESCE(list_sum(list_transform(list_distinct(lines),
+        |      x -> length(x))), 0) AS distinct_line_chars,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(len(toks) - 1),
+        |        i -> toks[i+1] || ' ' || toks[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bigrams
+        |  FROM base)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  ROUND((n_lines - n_distinct_lines) / CAST(n_lines AS DOUBLE), 4)
+        |    AS dup_line_frac,
+        |  ROUND(CASE WHEN line_chars > 0 THEN
+        |      (line_chars - distinct_line_chars) / CAST(line_chars AS DOUBLE)
+        |    ELSE 0.0 END, 4) AS dup_line_char_frac,
+        |  ROUND(CASE WHEN len(bigrams) > 0 THEN
+        |      list_max(list_transform(list_distinct(bigrams),
+        |        g -> len(list_filter(bigrams, b -> b = g)) * length(g)))
+        |        / CAST(n_chars AS DOUBLE)
+        |    ELSE 0.0 END, 4) AS top2gram_char_frac
+        |FROM c""".stripMargin,
     "d5_minhash" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  MIN(md5('0:' || t)) AS mh_0, MIN(md5('1:' || t)) AS mh_1,

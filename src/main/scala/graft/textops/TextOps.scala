@@ -369,4 +369,53 @@ object TextOps {
     documents.select(col("doc_id").cast("long").as("doc_id"),
       array_min(transform(shingles, s => md5(s))).as("fingerprint"))
   }
+
+  /** Repetition scores — the duplicate-content quality filters of the
+    * Gopher/MassiveText recipe (Rae et al. 2021, appendix A1.1), the
+    * standard pre-training gate beside [[qualityScore]]:
+    *
+    *  - `dup_line_frac`: fraction of lines that are repeats of an
+    *    earlier line (distinct-count form: (n - n_distinct) / n);
+    *  - `dup_line_char_frac`: fraction of line characters inside those
+    *    repeated occurrences (sum(len) - sum over distinct of len,
+    *    over sum(len) — newline separators excluded from both sides);
+    *  - `top2gram_char_frac`: characters covered by the most frequent
+    *    word 2-gram (count x len incl. the joining space) over total
+    *    chars; 0.0 for docs with fewer than two tokens.
+    *
+    * Shape at scale: a pure narrow projection — all three scores come
+    * from higher-order functions over the doc's own line/token arrays,
+    * so the operator is zero-shuffle and embarrassingly parallel at any
+    * corpus size. Per-doc cost is O(distinct-bigrams x tokens) for the
+    * top-2-gram count — bounded by the document length alone, never the
+    * corpus. The distinct-line char sums sidestep per-value counting
+    * entirely (duplicate chars = total minus first-occurrence chars). */
+  def repetitionScores(documents: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    def charSum(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + length(x))
+    val lineChars = charSum(lines)
+    val distinctLineChars = charSum(array_distinct(lines))
+    // sequence(0, n-2) flips to a DESCENDING range when n < 2 (Spark
+    // auto-steps -1) — the n >= 2 guard is load-bearing, not cosmetic
+    val bigrams = transform(sequence(lit(0), n - 2),
+      i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    val topBigramChars = array_max(transform(array_distinct(bigrams),
+      g => size(filter(bigrams, b => b === g)).cast("long") * length(g)))
+    documents.select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      round((size(lines) - size(array_distinct(lines)))
+        .cast("double") / size(lines).cast("double"), 4)
+        .as("dup_line_frac"),
+      round(when(lineChars > 0,
+          (lineChars - distinctLineChars).cast("double") /
+            lineChars.cast("double"))
+        .otherwise(0.0), 4).as("dup_line_char_frac"),
+      round(when(n >= 2,
+          topBigramChars.cast("double") / length(col("text")).cast("double"))
+        .otherwise(0.0), 4).as("top2gram_char_frac"))
+  }
 }

@@ -136,4 +136,27 @@ class TextOpsSpec extends SparkSpec {
       assert(recall >= 0.7, s"overall recall at Hamming<=6 fell to $recall")
     }
   }
+
+  test("repetitionScores: Gopher dup-line / top-2gram golden values") {
+    val docs = Seq(
+      // lines [aa bb, aa bb, cc]: dup 1/3, dup chars 5/12; space-split
+      // tokens keep newlines inside -> bigrams "aa bb\naa" (len 8),
+      // "bb\naa bb\ncc" (len 11), both count 1 -> top 11/14
+      0L -> "aa bb\naa bb\ncc",
+      1L -> "hello", // single token: top2gram defined 0.0
+      // "x y" appears 3x overlapping (len 3 -> 9 chars of 11)
+      2L -> "x y x y x y",
+      3L -> "", // degenerate: one empty line, zero line chars
+      4L -> "l\nl\nl\nl" // 4 identical lines: 3/4 dup, 3/4 dup chars
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionScores(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(0L) == ((3L, 0.3333, 0.4167, 0.7857)))
+    assert(got(1L) == ((1L, 0.0, 0.0, 0.0)))
+    assert(got(2L) == ((1L, 0.0, 0.0, 0.8182)))
+    assert(got(3L) == ((1L, 0.0, 0.0, 0.0)))
+    assert(got(4L) == ((4L, 0.75, 0.75, 0.0)))
+  }
 }
