@@ -386,10 +386,14 @@ object TextOps {
     * Shape at scale: a pure narrow projection — all three scores come
     * from higher-order functions over the doc's own line/token arrays,
     * so the operator is zero-shuffle and embarrassingly parallel at any
-    * corpus size. Per-doc cost is O(distinct-bigrams x tokens) for the
-    * top-2-gram count — bounded by the document length alone, never the
-    * corpus. The distinct-line char sums sidestep per-value counting
-    * entirely (duplicate chars = total minus first-occurrence chars). */
+    * corpus size. Per-doc cost is O(tokens log tokens): the top-2-gram
+    * mode comes from ONE pass over the sorted bigram array (longest
+    * equal-run, max of run x len carried in the fold state) — the naive
+    * distinct x filter form is O(bigrams^2) per doc and measured 94.5 s
+    * vs ~2 s on the SF=0.1 corpus, a per-DOC scale trap no cluster
+    * fixes (one pathological long document stalls its partition). The
+    * distinct-line char sums sidestep per-value counting entirely
+    * (duplicate chars = total minus first-occurrence chars). */
   def repetitionScores(documents: DataFrame): DataFrame = {
     val lines = split(col("text"), "\n")
     val toks = tokens(col("text"))
@@ -402,8 +406,21 @@ object TextOps {
     // auto-steps -1) — the n >= 2 guard is load-bearing, not cosmetic
     val bigrams = transform(sequence(lit(0), n - 2),
       i => concat_ws(" ", slice(toks, i + 1, lit(2))))
-    val topBigramChars = array_max(transform(array_distinct(bigrams),
-      g => size(filter(bigrams, b => b === g)).cast("long") * length(g)))
+    // mode x len over the SORTED array: equal bigrams are adjacent, so
+    // a single fold tracking (prev, run-length, best run x len) finds
+    // max over distinct g of count(g) x len(g) without the quadratic
+    // distinct x filter recount (best updates every step, so it holds
+    // the running max when the run ends)
+    val topBigramChars = aggregate(array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"),
+            run * length(x).cast("long")).as("best"))
+      },
+      acc => acc.getField("best"))
     documents.select(
       col("doc_id").cast("long").as("doc_id"),
       size(lines).cast("long").as("n_lines"),
