@@ -390,7 +390,7 @@ object TextOps {
     * mode comes from ONE pass over the sorted bigram array (longest
     * equal-run, max of run x len carried in the fold state) — the naive
     * distinct x filter form is O(bigrams^2) per doc and measured 94.5 s
-    * vs ~2 s on the SF=0.1 corpus, a per-DOC scale trap no cluster
+    * vs 3.3 s on the SF=0.1 corpus, a per-DOC scale trap no cluster
     * fixes (one pathological long document stalls its partition). The
     * distinct-line char sums sidestep per-value counting entirely
     * (duplicate chars = total minus first-occurrence chars). */
