@@ -13,7 +13,11 @@ import graft.schema.{Evidence, SegMention}
   *     threshold folds + fit + rank) on a fixed synthetic evidence set.
   *     Caches are released between queries so no timing reads another
   *     query's persisted intermediates (the round-2 defect that showed
-  *     d9 at 47.6 s when it measures ~2 s standalone).
+  *     d9 at 47.6 s when it measures ~2 s standalone). Since round 6
+  *     every query is probe-bracketed and stamped clean/LOADED, with
+  *     retry sweeps for loaded queries (the round-5 defect: kg_triples
+  *     published at 37.7 s under host load — 4.3 s isolated — with no
+  *     flag anywhere).
   *  2. the end-to-end KG pipeline: headline throughput at local[32]/
   *     SF=0.1, then the N-vs-4N scaling measurement with a RAW-CPU PROBE
   *     defending each pair (below), and one SF=2 spot-check run.
@@ -74,9 +78,12 @@ object Bench {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   /** One pipeline measurement in its own child JVM: warm-up at sf/5,
-    * then `timedRuns` timed runs; returns (triples, best seconds). */
+    * then `timedRuns` timed runs; returns (triples, best seconds,
+    * intra-leg probe points the child emitted between its Spark-idle
+    * moments — outer brackets alone cannot see a steal burst confined
+    * to one child, the round-5 defect). */
   def childRun(cores: Int, sf: Double, timedRuns: Int,
-      mem: String): (Long, Double) = {
+      mem: String): (Long, Double, Seq[Double]) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     // ParallelGC measured ~12% faster than G1 on this pipeline at
@@ -103,12 +110,15 @@ object Bench {
     // makes the broadcast-vs-shuffle call per join from runtime sizes.
     pb.environment().put("SPARK_GRAFT_AQE", "false")
     pb.environment().put("GRAFT_DIM_BROADCAST", "auto")
+    pb.environment().put("GRAFT_INNER_PROBES", "1")
     val p = pb.start()
     val out = scala.io.Source.fromInputStream(p.getInputStream)
       .getLines().toList
     p.waitFor()
-    val json = out.find(_.startsWith("{")).getOrElse(
-      throw new IllegalStateException(
+    val inner = out.flatMap(l => "\"probe_inner\":([0-9.]+)".r
+      .findFirstMatchIn(l).map(_.group(1).toDouble))
+    val json = out.find(l => l.startsWith("{") && l.contains("\"seconds\""))
+      .getOrElse(throw new IllegalStateException(
         s"bench child produced no result (cores=$cores sf=$sf)"))
     val secs = "\"seconds\":([0-9.]+)".r
       .findFirstMatchIn(json).map(_.group(1).toDouble).getOrElse(-1.0)
@@ -116,7 +126,7 @@ object Bench {
       .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
     require(secs > 0 && trip > 0,
       s"bench child run failed (cores=$cores sf=$sf): $json")
-    (trip, secs)
+    (trip, secs, inner)
   }
 
   /** Raw-CPU probe: wall seconds for a FIXED amount of sha256 chain
@@ -260,23 +270,62 @@ object Bench {
     // the driver's oracle runs) inflates points 50-100%+. 1.4x the
     // floor separates the two regimes; 1.15x flagged quiet pairs.
     val CleanBar = 1.4
+    // probe points that gated a launch (headline / pair / SF attempt)
+    // and read loaded — kept as an audit trail in the artifact
+    val skippedProbes = ArrayBuffer.empty[Double]
 
     // part 1: per-query timings on the driver tables. Cache state is
     // reset between queries — a leaked persist from one query must not
     // tax (or subsidize) the next one's number — but the release runs
     // OUTSIDE the timed window (it is bench bookkeeping, not query cost).
+    //
+    // Round-5 defect fixed here: part 1 had NO probe defense at all —
+    // the driver's run published kg_triples at 37.7 s (isolated re-run:
+    // 4.3 s) with nothing flagging it. Now every query is bracketed by
+    // probe points (the closing point doubles as the next query's
+    // opening one), loaded queries are re-run in up to two retry sweeps,
+    // and the published number is the fastest CLEAN attempt when one
+    // exists, stamped per query in the artifact.
+    final case class QAttempt(secs: Double, pB: Double, pA: Double) {
+      def cleanAt(fl: Double): Boolean =
+        pB <= fl * CleanBar && pA <= fl * CleanBar
+    }
     val spark1 = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        val secs =
-          try {
-            fn(spark1, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => (System.nanoTime() - t0) / 1e9 }
-        graft.pipeline.Caches.release()
-        spark1.catalog.clearCache()
-        name -> secs
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qAttempts = scala.collection.mutable.LinkedHashMap(
+      sortedQueries.map { case (n, _) => n -> ArrayBuffer.empty[QAttempt] }: _*)
+    def runQuery(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        pB: Double): Double = {
+      val t0 = System.nanoTime()
+      val secs =
+        try {
+          fn(spark1, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => (System.nanoTime() - t0) / 1e9 }
+      graft.pipeline.Caches.release()
+      spark1.catalog.clearCache()
+      val pA = probe()
+      qAttempts(name) += QAttempt(secs, pB, pA)
+      pA
+    }
+    var pCur = probe()
+    sortedQueries.foreach { case (name, fn) => pCur = runQuery(name, fn, pCur) }
+    // retry sweeps: re-run only the queries with no clean attempt yet
+    // (judged against the interim floor; the published stamp is
+    // re-classified retroactively against the final floor). Two sweeps
+    // bound the cost at ~2x part 1 even under persistent load.
+    var part1Sweeps = 0
+    while (part1Sweeps < 2 &&
+        sortedQueries.exists { case (n, _) =>
+          !qAttempts(n).exists(_.cleanAt(floor())) }) {
+      part1Sweeps += 1
+      Thread.sleep(20000)
+      var p = probe()
+      sortedQueries.foreach { case (name, fn) =>
+        if (!qAttempts(name).exists(_.cleanAt(floor())))
+          p = runQuery(name, fn, p)
+      }
     }
     // the AL-round number swung 31.6-71.2 s with host load across
     // rounds; bracket it so history carries a defended reading
@@ -284,29 +333,55 @@ object Bench {
     val alSec = try alRoundSec(spark1) catch { case _: Throwable => -1.0 }
     val pAlAfter = probe()
     spark1.stop()
+    // Part-1 stamps are classified against the PART-1-PHASE floor (the
+    // min over probe points taken while spark1 lived), not the session
+    // floor: part 1's points are read inside a JVM that is hosting and
+    // running Spark queries, a measurably warmer regime than the
+    // between-children gaps where the session floor is usually set —
+    // mixing the regimes flagged half of a quiet part 1 as LOADED in
+    // calibration. The phase floor cannot launder a fully-loaded part 1
+    // silently: the artifact publishes both floors plus an explicit
+    // part1_floor_inflated flag when the phase floor itself sits above
+    // the session bar.
+    val part1ProbeCount = allProbeReadings.length
+    def part1Floor(): Double = allProbeReadings.take(part1ProbeCount).min
 
     // part 2a: headline throughput at full parallelism — probe-bracketed
     // and retried-on-loaded like the scaling pairs (round-4 defect: the
     // committed artifact published a 27.7k t/s headline measured under
     // load — history held 83-88.5k quiet readings — with no flag)
     val headlineMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
-    final case class Headline(t: Long, s: Double, pB: Double, pA: Double) {
+    final case class Headline(t: Long, s: Double, pB: Double, pA: Double,
+        inner: Seq[Double]) {
       def cleanAt(fl: Double): Boolean =
-        pB <= fl * CleanBar && pA <= fl * CleanBar
+        (Seq(pB, pA) ++ inner).forall(_ <= fl * CleanBar)
     }
     val headlines = ArrayBuffer.empty[Headline]
-    def runHeadline(): Unit = {
+    def runHeadline(pb: Double): Unit = {
+      val (t, s, inner) = childRun(32, pipelineSf, timedRuns = 3, headlineMem)
+      allProbeReadings ++= inner
+      headlines += Headline(t, s, pb, probe(), inner)
+    }
+    // Round-5 defect fixed here: `hRetries < 2` with immediate relaunch
+    // exhausted in 40 s of a multi-minute load burst and COMMITTED a
+    // probe-flagged 5,985 t/s as the official number (clean reading 90
+    // min earlier: 39,139). Now the launch itself is probe-gated (a
+    // 30 s wait costs 1/4 of a wasted child run), the attempt/wait
+    // budgets are wide enough to sit out a burst, and cleanliness also
+    // sees the child's intra-leg probe points.
+    var hWaits = 0
+    var hRuns = 0
+    val part2Reserve = 1500.0 // pairs + SF-linearity room (see below)
+    while (!headlines.exists(_.cleanAt(floor())) && hRuns < 4 &&
+        hWaits < 8 && elapsedSec() + part2Reserve < budgetSec) {
       val pb = probe()
-      val (t, s) = childRun(32, pipelineSf, timedRuns = 3, headlineMem)
-      headlines += Headline(t, s, pb, probe())
+      if (pb > floor() * CleanBar) {
+        skippedProbes += pb; hWaits += 1; Thread.sleep(30000)
+      } else { hRuns += 1; runHeadline(pb) }
     }
-    runHeadline()
-    var hRetries = 0
-    while (!headlines.last.cleanAt(floor()) && hRetries < 2) {
-      hRetries += 1
-      Thread.sleep(20000)
-      runHeadline()
-    }
+    // budgets exhausted with nothing at all: one unconditional run — a
+    // LOADED-stamped number beats a hole in the artifact
+    if (headlines.isEmpty) runHeadline(probe())
 
     // part 2b: the scaling pair. Why local[2] vs local[8]: a raw-CPU
     // probe (multiprocess sha256, zero shared state) shows this VM's
@@ -334,14 +409,13 @@ object Bench {
     Thread.sleep(3000) // let part 2a's child fully exit
 
     final case class ScalePair(sN: Double, s4N: Double,
-        pBefore: Double, pMid: Double, pAfter: Double) {
+        pBefore: Double, pMid: Double, pAfter: Double,
+        inner: Seq[Double]) {
       def eff: Double = (sN / s4N) / 4.0
       def cleanAt(fl: Double): Boolean =
-        pBefore <= fl * CleanBar && pMid <= fl * CleanBar &&
-          pAfter <= fl * CleanBar
+        (Seq(pBefore, pMid, pAfter) ++ inner).forall(_ <= fl * CleanBar)
     }
     val pairs = ArrayBuffer.empty[ScalePair]
-    val skippedProbes = ArrayBuffer.empty[Double]
     var scalingTriples = 0L
     // a probe-skip costs ~25 s, a pair run ~6 min: budget them apart —
     // at most one extra pair run beyond the target, at most 6 skips
@@ -363,16 +437,19 @@ object Bench {
       // child-to-child spread is ~6% (min-of-2 suffices), the 4N leg's
       // was ~40% in round 3 (steal hits the wide leg proportionally
       // harder) — it gets 4 runs at a quarter the cost per run
-      val (t1, s1) = childRun(nCores, scalingSf, timedRuns = 2, scaleMem)
+      val (t1, s1, i1) = childRun(nCores, scalingSf, timedRuns = 2, scaleMem)
       // MID-pair probe: a steal burst confined to one leg's ~2-minute
       // child is invisible to before/after brackets alone (the round-4
       // failure mode: a 4N leg inflated 30-45% between two clean-reading
-      // brackets); sampling between the legs halves the blind window
+      // brackets); sampling between the legs halves the blind window,
+      // and the children's own intra-leg points (between their timed
+      // runs) close most of the rest
       val pm = probe()
-      val (_, s2) = childRun(nCores * 4, scalingSf, timedRuns = 4, scaleMem)
+      val (_, s2, i2) = childRun(nCores * 4, scalingSf, timedRuns = 4, scaleMem)
       val pa = probe()
+      allProbeReadings ++= i1; allProbeReadings ++= i2
       scalingTriples = t1
-      pairs += ScalePair(s1, s2, pb, pm, pa)
+      pairs += ScalePair(s1, s2, pb, pm, pa, i1 ++ i2)
       lastPairSec = (System.nanoTime() - t0) / 1e9
     }
     while (pairRuns < pairsN && skips < 6 && pairFits()) {
@@ -419,46 +496,65 @@ object Bench {
     // the same skip-the-attempt/retry-until-clean budget the scaling
     // pairs get, classified retroactively against the final floor.
     final case class SfAttempt(t1: Long, s1: Double, t2: Long, s2: Double,
-        pB: Double, pM: Double, pA: Double) {
+        pB: Double, pM: Double, pA: Double, inner: Seq[Double]) {
       def linearity: Double = (t2 / s2) / (t1 / s1)
       def cleanAt(fl: Double): Boolean =
-        pB <= fl * CleanBar && pM <= fl * CleanBar && pA <= fl * CleanBar
+        (Seq(pB, pM, pA) ++ inner).forall(_ <= fl * CleanBar)
     }
     val sfAttempts = ArrayBuffer.empty[SfAttempt]
+    def runSfAttempt(pb: Double): Unit = {
+      val (t1, s1, i1) = childRun(8, 1.0, timedRuns = 2, mem = "12g")
+      val pm = probe()
+      val (t2, s2, i2) = childRun(8, 2.0, timedRuns = 2, mem = "12g")
+      val pa = probe()
+      allProbeReadings ++= i1; allProbeReadings ++= i2
+      sfAttempts += SfAttempt(t1, s1, t2, s2, pb, pm, pa, i1 ++ i2)
+    }
     if (!sys.env.get("SPARK_GRAFT_SKIP_SF2").contains("1")) {
+      // Round-5 defect fixed here: ONE clean attempt was accepted as
+      // settled, and two "clean" runs of identical code printed 0.981
+      // and 0.634 two hours apart — a single attempt defended only by
+      // 3 outer probe points is not evidence. Now (a) each child emits
+      // intra-leg probe points between its timed runs, so a burst
+      // living inside one ~100 s leg is visible, and (b) the loop keeps
+      // going until TWO attempts are probe-clean (budget allowing);
+      // published legs are per-leg minima over the clean attempts.
       var attempts = 0
       var waits = 0
-      var done = false
-      while (!done && attempts < 3 && waits < 6 &&
+      while (sfAttempts.count(_.cleanAt(floor())) < 2 &&
+          attempts < 4 && waits < 8 &&
           elapsedSec() + sfPairReserve < budgetSec) {
         val pb = probe()
         if (pb > floor() * CleanBar) {
           skippedProbes += pb; waits += 1; Thread.sleep(20000)
         } else {
           attempts += 1
-          try {
-            val (t1, s1) = childRun(8, 1.0, timedRuns = 2, mem = "12g")
-            val pm = probe()
-            val (t2, s2) = childRun(8, 2.0, timedRuns = 2, mem = "12g")
-            val pa = probe()
-            sfAttempts += SfAttempt(t1, s1, t2, s2, pb, pm, pa)
-            done = sfAttempts.last.cleanAt(floor())
-          } catch { case _: Throwable => () }
+          try runSfAttempt(pb)
+          catch { case _: Throwable => () }
         }
       }
-      // budget exhausted with zero attempts: a loaded reading beats a
-      // silent hole in the artifact (probes will mark it LOADED)
-      if (sfAttempts.isEmpty && elapsedSec() + sfPairReserve < budgetSec)
-        try {
-          val pb = probe()
-          val (t1, s1) = childRun(8, 1.0, timedRuns = 2, mem = "12g")
-          val pm = probe()
-          val (t2, s2) = childRun(8, 2.0, timedRuns = 2, mem = "12g")
-          sfAttempts += SfAttempt(t1, s1, t2, s2, pb, pm, probe())
-        } catch { case _: Throwable => () }
+      // attempt/wait budgets exhausted with zero attempts: run one
+      // unconditionally, even past the wall budget — a LOADED-stamped
+      // reading beats a silent hole in the artifact (the sf fields
+      // would otherwise publish as 0 with nothing saying why)
+      if (sfAttempts.isEmpty)
+        try runSfAttempt(probe())
+        catch { case _: Throwable => () }
     }
 
     val floorFinal = floor()
+    val part1FloorFinal = part1Floor()
+    val part1FloorInflated = part1FloorFinal > floorFinal * CleanBar
+    // retroactive part-1 classification against the part-1-phase floor:
+    // per query, the fastest CLEAN attempt when one exists (else the
+    // fastest attempt, stamped LOADED)
+    val qFinal = sortedQueries.map { case (name, _) =>
+      val as = qAttempts(name).toSeq
+      val clean = as.filter(_.cleanAt(part1FloorFinal))
+      val use = if (clean.nonEmpty) clean else as
+      (name, use.map(_.secs).min, clean.nonEmpty)
+    }
+    val results = qFinal.map { case (n, s, _) => n -> s }
     // retroactive classification of the bracketed singletons
     val headlineClean = headlines.exists(_.cleanAt(floorFinal))
     val hUsable =
@@ -467,8 +563,9 @@ object Bench {
     val hBest = hUsable.minBy(_.s)
     val nT = hBest.t
     val sT = hBest.s
-    val alClean = alSec > 0 && pAlBefore <= floorFinal * CleanBar &&
-      pAlAfter <= floorFinal * CleanBar
+    // AL runs inside spark1 — same regime as part 1, same floor
+    val alClean = alSec > 0 && pAlBefore <= part1FloorFinal * CleanBar &&
+      pAlAfter <= part1FloorFinal * CleanBar
     val sfCleanAtt = sfAttempts.filter(_.cleanAt(floorFinal)).toSeq
     val sfUsable = if (sfCleanAtt.nonEmpty) sfCleanAtt else sfAttempts.toSeq
     val sf2Clean = sfCleanAtt.nonEmpty
@@ -509,9 +606,12 @@ object Bench {
       xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
+    val qsClean = qFinal.map { case (k, _, c) => s""""$k":$c""" }
+      .mkString("{", ",", "}")
+    val part1CleanN = qFinal.count(_._3)
     val total = results.map(_._2).sum
     val extra =
-      f""""al_round_sec":$alSec%.2f,"al_round_clean":$alClean,"pipeline_sf":$pipelineSf,"pipeline_triples":$nT,"pipeline_sec":$sT%.2f,"triples_per_sec":${nT / sT}%.1f,"headline_clean":$headlineClean,"headline_attempts":${headlines.length},"headline_secs":${arr(headlines.toSeq.map(_.s))},"scaling_sf":$scalingSf,"scaling_triples":$scalingTriples,"scale_mem":"$scaleMem","n_cores":$nCores,"n4_cores":${nCores * 4},"sec_n_runs":${arr(pairs.toSeq.map(_.sN))},"sec_4n_runs":${arr(pairs.toSeq.map(_.s4N))},"probe_floor":$floorFinal%.2f,"probes_before":${arr(pairs.toSeq.map(_.pBefore))},"probes_mid":${arr(pairs.toSeq.map(_.pMid))},"probes_after":${arr(pairs.toSeq.map(_.pAfter))},"probes_skipped":${arr(skippedProbes.toSeq)},"probes_all":${arr(allProbeReadings.toSeq)},"clean_pairs":$cleanN,"scaling_defended":${cleanN > 0},"sec_n":$sNmin%.2f,"sec_4n":$s4Nmin%.2f,"sec_n_median":$sN%.2f,"sec_4n_median":$s4N%.2f,"triples_per_sec_n":$tputN%.1f,"triples_per_sec_4n":$tput4N%.1f,"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"scaling_efficiency":$eff%.3f,"scaling_efficiency_clean_median":$eff%.3f,"scaling_efficiency_min_ratio":$effMinRatio%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_from_medians":$effFromMedians%.3f,"sf1_8c_triples":$sf1T,"sf1_8c_sec":$sf1S%.2f,"sf1_8c_triples_per_sec":$sf1Rate%.1f,"sf2_triples":$sf2T,"sf2_sec":$sf2S%.2f,"sf2_triples_per_sec":$sf2Rate%.1f,"sf_linearity":$sfLinearity%.3f,"sf2_clean":$sf2Clean,"sf_attempts":${sfAttempts.length},"sf_attempt_linearity":${arr(sfAttempts.toSeq.map(_.linearity))}"""
+      f""""queries_clean":$qsClean,"part1_clean_count":$part1CleanN,"part1_query_count":${qFinal.length},"part1_retry_sweeps":$part1Sweeps,"part1_floor":$part1FloorFinal%.2f,"part1_floor_inflated":$part1FloorInflated,"headline_waits":$hWaits,"sf_clean_attempts":${sfCleanAtt.length},"al_round_sec":$alSec%.2f,"al_round_clean":$alClean,"pipeline_sf":$pipelineSf,"pipeline_triples":$nT,"pipeline_sec":$sT%.2f,"triples_per_sec":${nT / sT}%.1f,"headline_clean":$headlineClean,"headline_attempts":${headlines.length},"headline_secs":${arr(headlines.toSeq.map(_.s))},"scaling_sf":$scalingSf,"scaling_triples":$scalingTriples,"scale_mem":"$scaleMem","n_cores":$nCores,"n4_cores":${nCores * 4},"sec_n_runs":${arr(pairs.toSeq.map(_.sN))},"sec_4n_runs":${arr(pairs.toSeq.map(_.s4N))},"probe_floor":$floorFinal%.2f,"probes_before":${arr(pairs.toSeq.map(_.pBefore))},"probes_mid":${arr(pairs.toSeq.map(_.pMid))},"probes_after":${arr(pairs.toSeq.map(_.pAfter))},"probes_skipped":${arr(skippedProbes.toSeq)},"probes_all":${arr(allProbeReadings.toSeq)},"clean_pairs":$cleanN,"scaling_defended":${cleanN > 0},"sec_n":$sNmin%.2f,"sec_4n":$s4Nmin%.2f,"sec_n_median":$sN%.2f,"sec_4n_median":$s4N%.2f,"triples_per_sec_n":$tputN%.1f,"triples_per_sec_4n":$tput4N%.1f,"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"scaling_efficiency":$eff%.3f,"scaling_efficiency_clean_median":$eff%.3f,"scaling_efficiency_min_ratio":$effMinRatio%.3f,"scaling_efficiency_best":$effBest%.3f,"scaling_efficiency_from_medians":$effFromMedians%.3f,"sf1_8c_triples":$sf1T,"sf1_8c_sec":$sf1S%.2f,"sf1_8c_triples_per_sec":$sf1Rate%.1f,"sf2_triples":$sf2T,"sf2_sec":$sf2S%.2f,"sf2_triples_per_sec":$sf2Rate%.1f,"sf_linearity":$sfLinearity%.3f,"sf2_clean":$sf2Clean,"sf_attempts":${sfAttempts.length},"sf_attempt_linearity":${arr(sfAttempts.toSeq.map(_.linearity))}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
 
     val pairRows = pairs.zipWithIndex.map { case (p, i) =>
@@ -541,8 +641,28 @@ object Bench {
          |on a real cluster.
          |
          |The headline is probe-bracketed and retried-on-loaded exactly
-         |like the scaling pairs (${headlines.length} attempt(s); the row
+         |like the scaling pairs — and since round 6 the launch itself is
+         |probe-gated (wait out load instead of burning a child run into
+         |it; $hWaits wait(s) this run) and the child emits INTRA-LEG
+         |probe points between its timed runs, so a burst confined to the
+         |child is visible too (${headlines.length} attempt(s); the row
          |below is the fastest CLEAN attempt when one exists).
+         |
+         |Part 1 (the per-query suite feeding BENCH_r{N}.json) is probe
+         |-stamped since round 6 as well: every query is bracketed by
+         |probe points, queries with no clean attempt are re-run in up to
+         |two retry sweeps ($part1Sweeps used), and the artifact carries a
+         |per-query clean flag ($part1CleanN/${qFinal.length} clean this
+         |run) — a loaded reading can no longer pose as a regression (the
+         |round-5 defect: kg_triples published at 37.7 s under host load,
+         |4.3 s isolated, with nothing flagging it). Part-1 stamps
+         |classify against the PART-1-PHASE floor
+         |($part1FloorFinal%.2f s; session floor $floorFinal%.2f s) —
+         |its probes read inside the live in-session JVM, a measurably
+         |warmer regime than the between-children gaps that set the
+         |session floor — with `part1_floor_inflated`
+         |(${part1FloorInflated}) exposing a phase that was itself
+         |loaded.
          |
          || config | triples | seconds | triples/sec | status |
          ||---|---|---|---|---|
@@ -609,9 +729,15 @@ object Bench {
          |attempt is bracketed before/MID/after (the mid probe sits
          |between the two legs — a steal burst inside one child is
          |invisible to outer brackets alone, the round-4 defect that
-         |published a LOADED 73%%) and retried until probe-clean within
-         |the wall budget; classification is retroactive against the
-         |final floor.
+         |published a LOADED 73%%) AND each child emits intra-leg probe
+         |points between its timed runs (the round-5 defect: 3 outer
+         |points "defended" a 105 s leg and published 0.634 clean against
+         |0.981 on identical code). The loop retries until TWO attempts
+         |are probe-clean (budget allowing; ${sfCleanAtt.length} clean of
+         |${sfAttempts.length} this run) — one attempt is not evidence —
+         |and the published legs are per-leg minima over the clean
+         |attempts; classification is retroactive against the final
+         |floor.
          |
          || attempt | SF=1 (s) | SF=2 (s) | rate ratio | probes b/m/a (s) | status |
          ||---|---|---|---|---|---|
@@ -645,7 +771,7 @@ object Bench {
       // each overwriting the last one's story — run-to-run machine drift
       // (the dominant noise source) is auditable from the history alone
       val hist =
-        f"""{"ts":${System.currentTimeMillis / 1000},"scaling_efficiency":$eff%.3f,"min_ratio":$effMinRatio%.3f,"best":$effBest%.3f,"from_medians":$effFromMedians%.3f,"clean_pairs":$cleanN,"defended":${cleanN > 0},"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"probe_floor":$floorFinal%.2f,"sec_n":$sNmin%.2f,"sec_4n":$s4Nmin%.2f,"sf_linearity":$sfLinearity%.3f,"sf2_clean":$sf2Clean,"sf_attempts":${sfAttempts.length},"headline_tps":${nT / sT}%.1f,"headline_clean":$headlineClean,"al_round_sec":$alSec%.2f,"al_round_clean":$alClean,"dim_join":"auto"}""" + "\n"
+        f"""{"ts":${System.currentTimeMillis / 1000},"scaling_efficiency":$eff%.3f,"min_ratio":$effMinRatio%.3f,"best":$effBest%.3f,"from_medians":$effFromMedians%.3f,"clean_pairs":$cleanN,"defended":${cleanN > 0},"eff_pairs":${arr(pairs.toSeq.map(_.eff))},"probe_floor":$floorFinal%.2f,"sec_n":$sNmin%.2f,"sec_4n":$s4Nmin%.2f,"sf_linearity":$sfLinearity%.3f,"sf2_clean":$sf2Clean,"sf_attempts":${sfAttempts.length},"sf_clean_attempts":${sfCleanAtt.length},"headline_tps":${nT / sT}%.1f,"headline_clean":$headlineClean,"part1_clean":"$part1CleanN/${qFinal.length}","al_round_sec":$alSec%.2f,"al_round_clean":$alClean,"dim_join":"auto"}""" + "\n"
       Files.writeString(Paths.get("BENCH/history.jsonl"), hist,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

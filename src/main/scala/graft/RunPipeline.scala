@@ -91,6 +91,19 @@ object RunPipeline {
       }
     }
     if (benchOnly) {
+      // INTRA-LEG probe points (GRAFT_INNER_PROBES=1, set by Bench's
+      // child protocol): a fixed-work sha256 reading emitted between the
+      // child's Spark-idle moments (post-warm-up and after every timed
+      // run). Outer before/after brackets cannot see a steal burst that
+      // starts and ends inside a ~100 s child — the round-5 defect that
+      // published an SF linearity of 0.634 with "clean" outer probes
+      // against 0.981 on identical code. Emitted between runs (Spark
+      // idle), so they measure HOST load, not the child's own executors,
+      // and never sit inside a timed window.
+      val innerProbes = sys.env.get("GRAFT_INNER_PROBES").contains("1")
+      if (innerProbes) Bench.cpuProbe() // discard: first JVM reading runs ~30% hot (JIT)
+      def emitProbe(): Unit = if (innerProbes)
+        println(f"""{"probe_inner":${Bench.probePoint()}%.2f}""")
       // warm-up at a fraction of the target SF: the plan shape (and so
       // the generated codegen classes + JIT profile) is SF-independent,
       // so a small warm run buys full steady-state at a fraction of the
@@ -98,7 +111,11 @@ object RunPipeline {
       // wall-time noise; min isolates code cost from interference
       once(math.max(0.01, sf * 0.2))
       val nTimed = sys.env.getOrElse("GRAFT_TIMED_RUNS", "3").toInt
-      val timed = (1 to nTimed).map(_ => once(sf))
+      val timed = (1 to nTimed).map { _ =>
+        emitProbe()
+        once(sf)
+      }
+      emitProbe()
       val nTriples = timed.head._1
       val secs = timed.map(_._2).min
       println(f"""{"sf":$sf,"cores":"$cores","docs":${CorpusGen.numDocs(sf)},"triples":$nTriples,"seconds":$secs%.2f,"triples_per_sec":${nTriples / secs}%.1f}""")

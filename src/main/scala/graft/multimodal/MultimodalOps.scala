@@ -259,7 +259,12 @@ object MultimodalOps {
             val id = fourcc(o)
             val sz = u32(o + 4).toInt
             val body = o + 8
-            if (body + sz > bytes.length) return // truncated: stop
+            // reject malformed sizes up front: a u32 above 2^31 goes
+            // NEGATIVE through .toInt (0xFFFFFFF8 -> -8); it would slip
+            // past the truncation guard and then step `o` backwards —
+            // an unkillable loop inside the executor's flatMap that the
+            // catch-to-None fallback never sees (no exception is thrown)
+            if (sz < 0 || body + sz > bytes.length) return // malformed/truncated: stop
             if (id == "LIST" && sz >= 4) walk(body + 4, body + sz)
             else if (id == "strf" && sz >= 40 && compression == -1L) {
               // first strf: BITMAPINFOHEADER (biSize u32, biWidth s32,
@@ -271,7 +276,9 @@ object MultimodalOps {
               compression = u32(body + 16)
             } else if ((id.endsWith("db") || id.endsWith("dc")) && sz > 0)
               frames += ((body, sz))
-            o = body + sz + (sz & 1) // chunks pad to even offsets
+            val next = body + sz + (sz & 1) // chunks pad to even offsets
+            if (next <= o) return // belt-and-braces: strict advance only
+            o = next
           }
         }
         walk(12, bytes.length)
@@ -323,39 +330,59 @@ object MultimodalOps {
 
     def sampleFrames(bytes: Array[Byte],
         every: Int): Option[Seq[Array[Byte]]] =
-      grabberClass.flatMap { cls =>
+      grabberClass.flatMap(_ =>
+        sampleFramesWith(Class.forName(_), bytes, every))
+
+    /** The reflective plumbing with the class LOADER injected: no javacv
+      * jars exist in this sandbox, so without this seam the grabber
+      * lifecycle (construct from InputStream, start/grab/convert,
+      * finally-release) would have zero executed coverage and a
+      * classpath typo would fail silently into the stub. The spec
+      * drives it with fake grabber/converter classes. */
+    private[graft] def sampleFramesWith(load: String => Class[_],
+        bytes: Array[Byte], every: Int): Option[Seq[Array[Byte]]] = {
         try {
+          val cls = load("org.bytedeco.javacv.FFmpegFrameGrabber")
           val grabber = cls
             .getConstructor(classOf[java.io.InputStream])
             .newInstance(new java.io.ByteArrayInputStream(bytes))
-          val convCls = Class.forName("org.bytedeco.javacv.Java2DFrameConverter")
+          val convCls = load("org.bytedeco.javacv.Java2DFrameConverter")
           val conv = convCls.getConstructor().newInstance()
-          val frameCls = Class.forName("org.bytedeco.javacv.Frame")
+          val frameCls = load("org.bytedeco.javacv.Frame")
           val start = cls.getMethod("start")
           val grabImage = cls.getMethod("grabImage")
-          val stop = cls.getMethod("stop")
           val getImage = convCls.getMethod("getBufferedImage", frameCls)
-          start.invoke(grabber)
           val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-          var i = 0
-          var frame = grabImage.invoke(grabber)
-          while (frame != null) {
-            if (i % math.max(1, every) == 0) {
-              val img = getImage.invoke(conv, frame)
-                .asInstanceOf[java.awt.image.BufferedImage]
-              if (img != null) {
-                val bos = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(img, "png", bos)
-                out += bos.toByteArray
+          try {
+            start.invoke(grabber)
+            var i = 0
+            var frame = grabImage.invoke(grabber)
+            while (frame != null) {
+              if (i % math.max(1, every) == 0) {
+                val img = getImage.invoke(conv, frame)
+                  .asInstanceOf[java.awt.image.BufferedImage]
+                if (img != null) {
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", bos)
+                  out += bos.toByteArray
+                }
               }
+              i += 1
+              frame = grabImage.invoke(grabber)
             }
-            i += 1
-            frame = grabImage.invoke(grabber)
+          } finally {
+            // release native FFmpeg state even when a mid-grab exception
+            // is about to be mapped to None — otherwise every failing
+            // asset leaks grabber resources, cumulative in a long-running
+            // executor. stop + release/close are each best-effort.
+            Seq("stop", "release", "close").foreach { m =>
+              try cls.getMethod(m).invoke(grabber)
+              catch { case _: Throwable => () }
+            }
           }
-          stop.invoke(grabber)
           if (out.isEmpty) None else Some(out.toSeq)
         } catch { case _: Throwable => None }
-      }
+    }
   }
 
   /** === STUB === deterministic stand-ins for codecs the JDK does NOT

@@ -76,7 +76,8 @@ object StreamingExtract {
     * callers own its lifecycle (`processAllAvailable`/`stop`). */
   def runToTriples(spark: SparkSession, raw: Dataset[RawDoc],
       gazette: Seq[(String, String)], workDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      icebergTable: Option[String] = None): StreamingQuery = {
     val extractDir = s"$workDir/extract_stream"
     // fail fast on the pre-batch-dir layout (flat parquet files directly
     // under extract_stream): the committed source offsets would skip
@@ -98,7 +99,7 @@ object StreamingExtract {
         // a replay rewrites identical content, never duplicates docs
         batch.write.mode("overwrite")
           .parquet(f"$extractDir/batch_$batchId%08d")
-        incrementalLink(batch.sparkSession, workDir, batchId)
+        incrementalLink(batch.sparkSession, workDir, batchId, icebergTable)
       }
       .start()
   }
@@ -109,7 +110,7 @@ object StreamingExtract {
     * state; writes state `batch_<batchId>` and swaps the updated triple
     * table into `workDir/triples`. */
   private[graft] def incrementalLink(spark: SparkSession, workDir: String,
-      batchId: Long): Unit = {
+      batchId: Long, icebergTable: Option[String] = None): Unit = {
     import spark.implicits._
     val extractDir = s"$workDir/extract_stream"
     val stateRoot = s"$workDir/state"
@@ -138,12 +139,13 @@ object StreamingExtract {
     val batchPreds = batchExtract.flatMap(_.predictions).toDF()
       .filter($"answer")
 
-    val (allEnts, newCanon, triples, ccInputN, touchedN, keptPrev) =
+    val (allEnts, newCanon, triples, ccInputN, touchedN, keptPrev, delta) =
       prevDir match {
         case None =>
           val canon = cached(Canonicalize.components(spark, batchEnts))
           (batchEnts, canon, Pipeline.triplesOf(batchPreds, canon),
-            batchEnts.count(), 0L, 0L)
+            batchEnts.count(), 0L, 0L,
+            None: Option[(DataFrame, DataFrame)])
         case Some(p) =>
           val prevEnts = cached(spark.read.parquet(s"$p/entities"))
           val prevCanon = cached(spark.read.parquet(s"$p/canonical"))
@@ -153,8 +155,24 @@ object StreamingExtract {
           //    component. Both sides entity-vocab bounded.
           val batchForms = Canonicalize.entityForms(batchEnts)
             .select($"form").distinct()
+          // touched = prior entities sharing a (kind, form) with the
+          // batch, PLUS prior entities whose entity_key itself recurs
+          // in the batch. The second leg is NOT redundant: coref
+          // repointing can attach a form-disjoint, lexicographically
+          // smaller alias to an existing key (e.g. a created anaphora
+          // mention on a gazette canonical), and dedupeEntities'
+          // min(alias) then REPLACES the key's form set — without the
+          // key-identity leg the key's prior component reads as
+          // untouched, newCanon holds the key twice (sub-CC + untouched
+          // remainder) and the alias-min's split/re-merge never applies,
+          // breaking the bit-identical-to-full-re-link guarantee.
           val touchedKeys0 = Canonicalize.entityForms(prevEnts)
-            .join(batchForms, "form").select($"entity_key").distinct()
+            .join(batchForms, "form").select($"entity_key")
+            .unionByName(prevEnts
+              .join(batchEnts.select($"entity_key"),
+                Seq("entity_key"), "leftsemi")
+              .select($"entity_key"))
+            .distinct()
           val touchedComps = cached(prevCanon.join(touchedKeys0, "entity_key")
             .select($"canonical").distinct())
           // every entity of a touched component (the CC re-run needs the
@@ -208,7 +226,8 @@ object StreamingExtract {
           val allEnts = Pipeline.dedupeEntities(
             prevEnts.unionByName(batchEnts))
           (allEnts, newCanon, keep.unionByName(rebuilt),
-            ccInput.count(), touchedComps.count(), 1L)
+            ccInput.count(), touchedComps.count(), 1L,
+            Some((touchedComps, rebuilt)): Option[(DataFrame, DataFrame)])
       }
 
     // write state (overwrite: a replayed batch rewrites identical
@@ -230,6 +249,24 @@ object StreamingExtract {
     val tmp = triplesDir + "_tmp"
     persistedTriples.write.mode("overwrite").parquet(tmp)
     Fs.swapInto(tmp, triplesDir)
+    // optional Iceberg twin of the visible table: first batch = full
+    // snapshot write; later batches = touched-component DELETE + APPEND
+    // (NOT createOrReplace — replacing the whole table per micro-batch
+    // would make the incremental link pointless on the catalog path).
+    // Guarded by the runtime probe so the same code is a no-op here
+    // (no Iceberg jars in this sandbox) and live on a real cluster.
+    icebergTable
+      .filter(_ => graft.sources.IcebergTripleSink.available)
+      .foreach { tbl =>
+        val sink = new graft.sources.IcebergTripleSink
+        delta match {
+          case None =>
+            sink.write(spark, persistedTriples, tbl, buckets = 32,
+              metrics = Map("batch_id" -> batchId))
+          case Some((touched, rebuilt)) =>
+            sink.writeIncremental(spark, rebuilt, touched, tbl)
+        }
+      }
     // prune states older than the one a replay of THIS batch would need
     prevDir.foreach { p =>
       val prevName = p.split('/').last

@@ -238,6 +238,77 @@ class MultimodalSpec extends SparkSpec {
     assert(stubbed.nonEmpty && stubbed.forall(_.decoder == "stub"))
   }
 
+  test("javacv seam: reflective lifecycle executes against injected fakes") {
+    import MultimodalOps.ReflectiveVideoBackend
+    // sandbox truth: no javacv jars, live probe reports unavailable
+    assert(!ReflectiveVideoBackend.available)
+
+    // happy path: 5 fake frames, every=2 -> frames 0,2,4 as real PNGs;
+    // start invoked once, stop+release invoked (the finally contract)
+    FakeJavacv.reset()
+    val got = ReflectiveVideoBackend.sampleFramesWith(
+      FakeJavacv.loader(classOf[FakeJavacv.Grabber]),
+      Array.fill[Byte](16)(1), every = 2)
+    assert(got.isDefined, "the javacv branch must run when classes resolve")
+    assert(got.get.length == 3)
+    got.get.foreach { png =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == 2 && img.getHeight == 2)
+      assert((img.getRGB(0, 0) & 0xffffff) == 0xff0000)
+    }
+    assert(FakeJavacv.started.get() == 1)
+    assert(FakeJavacv.stopped.get() == 1, "stop not invoked")
+    assert(FakeJavacv.released.get() == 1, "release not invoked")
+
+    // error path: grabImage throws mid-stream -> None, AND the grabber
+    // is still released (regression: stop/release used to be skipped on
+    // the exception path, leaking native FFmpeg state per failing asset)
+    FakeJavacv.reset()
+    val failed = ReflectiveVideoBackend.sampleFramesWith(
+      FakeJavacv.loader(classOf[FakeJavacv.ThrowingGrabber]),
+      Array.fill[Byte](16)(1), every = 1)
+    assert(failed.isEmpty)
+    assert(FakeJavacv.stopped.get() == 1,
+      "stop not invoked on the error path")
+    assert(FakeJavacv.released.get() == 1,
+      "release not invoked on the error path — native resources leak")
+
+    // missing classes fall through to None (the stub fallback's input)
+    assert(ReflectiveVideoBackend.sampleFramesWith(
+      n => throw new ClassNotFoundException(n),
+      Array.fill[Byte](16)(1), every = 1).isEmpty)
+  }
+
+  test("malformed AVI chunk sizes terminate the RIFF walk instead of hanging") {
+    // Regression: a declared chunk size above 2^31 goes NEGATIVE through
+    // u32(..).toInt (0xFFFFFFF8 -> -8), slipped past the truncation guard
+    // (body + sz <= length) and made `o = body + sz + (sz & 1)` step to
+    // exactly `o` again — an unkillable infinite loop inside the executor
+    // task that the catch-to-None could never see (nothing throws).
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    // top-level chunk declaring size 0xFFFFFFF8 (-8 as Int)
+    val negChunk = "RIFF".getBytes("US-ASCII") ++ le32(72) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "00db".getBytes("US-ASCII") ++ le32(0xFFFFFFF8) ++ new Array[Byte](64)
+    // LIST recursion with the same poisoned size one level down
+    val negList = "RIFF".getBytes("US-ASCII") ++ le32(84) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(76) ++
+      "movi".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++ le32(0xFFFFFFF8) ++ new Array[Byte](64)
+    val t0 = System.nanoTime()
+    assert(MultimodalOps.Codecs.decodeAviFrames(negChunk, 1).isEmpty)
+    assert(MultimodalOps.Codecs.decodeAviFrames(negList, 1).isEmpty)
+    // and through the dispatching entry point (must fall to None, which
+    // the Spark path then routes to the stub)
+    assert(MultimodalOps.Codecs.sampleFrames(negChunk, 1).isEmpty)
+    assert((System.nanoTime() - t0) / 1e9 < 10,
+      "malformed AVI walk did not terminate promptly")
+  }
+
   test("video frame sampling emits every k-th fixed-size frame") {
     val frames = MultimodalOps.sampleVideoFrames(spark,
       MultimodalOps.syntheticAssets(spark, 30), every = 2, frameSize = 100)

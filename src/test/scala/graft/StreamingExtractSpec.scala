@@ -107,4 +107,63 @@ class StreamingExtractSpec extends SparkSpec {
     assert(streamed3.exists(r => r.getString(0) == CorpusGen.funName(0)
       && r.getString(1) == "calls" && r.getString(2) == CorpusGen.funName(1)))
   }
+
+  test("incremental link re-links a component whose entity_key recurs with a form-disjoint smaller alias") {
+    // Regression: touch detection matched only on the (kind, form) of the
+    // batch's DEDUPED aliases. Coref repointing can attach a created
+    // anaphora alias to an existing canonical key; when that alias is
+    // lexicographically smaller AND form-disjoint (here "aaaPronoun" vs
+    // "zebraFun"), dedupeEntities' min(alias) replaces the key's form set
+    // and the form-only leg classifies the key's prior component as
+    // untouched — newCanon then held the key twice (sub-CC + untouched
+    // remainder) and triplesOf fanned out duplicate/wrong-subject rows.
+    import spark.implicits._
+    import Pipeline.{DocExtract, EntityRow, Prediction}
+    val dir = Files.createTempDirectory("graft-stream-touch").toString
+    val b0 = Seq(DocExtract("d1",
+      Array(Prediction("ev1", "calls", "zebraFun", "d1 FUNCTION 5 6",
+        answer = true)),
+      Array(
+        EntityRow("zebraFun", "FUNCTION", "zebraFun", from_gazette = true),
+        EntityRow("d1 FUNCTION 5 6", "FUNCTION", "otherFun",
+          from_gazette = false),
+        EntityRow("d1 FUNCTION 9 10", "FUNCTION", "aaapronoun",
+          from_gazette = false))))
+    val b1 = Seq(DocExtract("d2",
+      Array(Prediction("ev2", "calls", "d2 FUNCTION 0 1", "zebraFun",
+        answer = true)),
+      Array(
+        // the gazette key RECURS carrying only its coref-created alias:
+        // smaller than and form-disjoint from every batch-0 zebraFun form
+        EntityRow("zebraFun", "FUNCTION", "aaaPronoun", from_gazette = true),
+        EntityRow("d2 FUNCTION 0 1", "FUNCTION", "someFun",
+          from_gazette = false))))
+    b0.toDS().write.parquet(s"$dir/extract_stream/batch_00000000")
+    StreamingExtract.incrementalLink(spark, dir, 0L)
+    b1.toDS().write.parquet(s"$dir/extract_stream/batch_00000001")
+    StreamingExtract.incrementalLink(spark, dir, 1L)
+
+    val state = Fs.listDirs(s"$dir/state", "batch_").last
+    val canon = spark.read.parquet(s"$state/canonical")
+    assert(canon.groupBy("entity_key").count()
+      .filter($"count" > 1).count() == 0,
+      "canonical map holds a recurring entity_key more than once")
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, String, String, String)] =
+      df.select("subj", "pred", "obj", "evidence_id").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSeq.sorted
+    // bit-identical to a full batch re-link over both batches — compared
+    // as SORTED SEQUENCES so duplicate fan-out cannot hide in a set
+    val allEnts = Pipeline.dedupeEntities((b0 ++ b1).flatMap(_.entities).toDF())
+    val fullCanon = graft.canonical.Canonicalize.components(spark, allEnts)
+    val expected = rows(Pipeline.triplesOf(
+      (b0 ++ b1).flatMap(_.predictions).toDF().filter($"answer"), fullCanon))
+    val got = rows(spark.read.parquet(s"$dir/triples"))
+    assert(got == expected, s"incremental $got != full re-link $expected")
+    // the min-alias merge took effect: d1 FUNCTION 9 10 (alias
+    // "aaapronoun") now folds into the gazette representative
+    assert(fullCanon.filter($"entity_key" === "d1 FUNCTION 9 10")
+      .select("canonical").head().getString(0) == "zebraFun")
+  }
 }
