@@ -764,6 +764,11 @@ object Bench {
               else sfAttempts.zipWithIndex.map { case (a, i) =>
                 f"| ${i + 1} | ${a.s1}%.2f | ${a.s2}%.2f | ${a.linearity}%.3f | ${a.pB}%.2f / ${a.pM}%.2f / ${a.pA}%.2f | ${if (a.cleanAt(floorFinal)) "clean" else "LOADED"} |"
               }.mkString("\n"))
+    // SPARK_GRAFT_BENCH_DRYRUN=1: print the JSON but do NOT touch the
+    // published artifacts (BENCH/BASELINE.md, history.jsonl, PLANS.md) —
+    // plumbing smoke-tests at toy SF would otherwise overwrite the real
+    // measured claims with meaningless numbers
+    if (sys.env.get("SPARK_GRAFT_BENCH_DRYRUN").contains("1")) return
     try {
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(Paths.get("BENCH/BASELINE.md"), md)

@@ -230,16 +230,23 @@ object SparkEntry {
         nprobe = 3, k = 5)
     }),
     "e3_embedding_neardup" -> ((s, d) => {
+      // exact all-pairs near-dup baseline at the SAME threshold as its
+      // scale twin e4: the driver embeddings are near-orthogonal (zero
+      // pairs at 0.9), so 0.35 is where the table has genuine mass —
+      // the oracle then compares 271 value rows instead of two empty
+      // sets (round-5 defect: a trivially-green 0-row oracle). The
+      // 0.9-threshold behavior stays covered in SimSearchSpec on
+      // clustered synthetic vectors.
       val e = t(s, d, "embeddings")
         .select(col("vec_id").cast("long").as("id"), col("embedding"))
-      SimSearch.cosineNearDupPairs(e, 0.9)
+      SimSearch.cosineNearDupPairs(e, 0.35)
     }),
     "e4_lsh_neardup" -> ((s, d) => {
       // the scale-path near-dup (OR-banded LSH candidates + exact-cosine
-      // verify). The driver embeddings are near-orthogonal (no pairs at
-      // 0.9 — e3 proves that), so the threshold sits where the table has
-      // genuine mass; the >= 0.9-recall-at-0.9-cosine evidence lives in
-      // SimSearchSpec on clustered synthetic vectors.
+      // verify) at e3's threshold, so e3 (exact) vs e4 (banded) also
+      // documents LSH recall on the driver tables; the
+      // >= 0.9-recall-at-0.9-cosine evidence lives in SimSearchSpec on
+      // clustered synthetic vectors.
       val e = t(s, d, "embeddings")
         .select(col("vec_id").cast("long").as("id"), col("embedding"))
       SimSearch.lshNearDupPairs(e, 0.35)
@@ -743,7 +750,7 @@ object SparkEntry {
         |      / (sqrt(list_dot_product(a.emb, a.emb))
         |       * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
         |  FROM e a, e b WHERE a.id < b.id)
-        |WHERE cos >= 0.9""".stripMargin,
+        |WHERE cos >= 0.35""".stripMargin,
     "kg_gazette_mentions" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(i AS BIGINT) AS pos, t AS mention

@@ -77,7 +77,8 @@ object StreamingExtract {
   def runToTriples(spark: SparkSession, raw: Dataset[RawDoc],
       gazette: Seq[(String, String)], workDir: String,
       trigger: Trigger = Trigger.ProcessingTime(0),
-      icebergTable: Option[String] = None): StreamingQuery = {
+      icebergTable: Option[String] = None,
+      compactEvery: Int = 16): StreamingQuery = {
     val extractDir = s"$workDir/extract_stream"
     // fail fast on the pre-batch-dir layout (flat parquet files directly
     // under extract_stream): the committed source offsets would skip
@@ -99,9 +100,69 @@ object StreamingExtract {
         // a replay rewrites identical content, never duplicates docs
         batch.write.mode("overwrite")
           .parquet(f"$extractDir/batch_$batchId%08d")
-        incrementalLink(batch.sparkSession, workDir, batchId, icebergTable)
+        incrementalLink(batch.sparkSession, workDir, batchId, icebergTable,
+          compactEvery)
       }
       .start()
+  }
+
+  /** The committed extract dirs strictly BEFORE `curName`, compaction
+    * aware: when a committed `*_compact` dir exists, it stands in for
+    * every plain batch dir up to its bound (whether or not their
+    * originals were already deleted — a crash between the compact
+    * commit and the cleanup leaves both on disk, and reading both
+    * would double-count rows). */
+  private[graft] def extractDirsBefore(extractDir: String,
+      curName: String): Seq[String] = {
+    val all = Fs.listDirs(extractDir, "batch_")
+      .filter(_.split('/').last < curName)
+    val (compacts, plains) =
+      all.partition(_.split('/').last.endsWith("_compact"))
+    val committed = compacts
+      .filter(d => Fs.exists(s"$d/_COMPACT_COMMIT"))
+    if (committed.isEmpty) plains
+    else {
+      // newest committed compact covers everything <= its bound; older
+      // compacts are superseded and covered plains are duplicates
+      val best = committed.maxBy(_.split('/').last)
+      val bound = best.split('/').last.stripSuffix("_compact")
+      best +: plains.filter(_.split('/').last > bound)
+    }
+  }
+
+  /** Fold the accumulated per-batch extract dirs into ONE compacted dir
+    * once `every` plain batch dirs exist. At real trigger rates the
+    * one-dir-per-batch layout is a small-files bomb on an object store
+    * (every incremental link re-lists and re-opens them); compaction
+    * keeps the dir count bounded by `every` + 1 while preserving the
+    * exact row set and the replay contract.
+    *
+    * Crash safety, step by step: (1) the compacted dir is written
+    * first, (2) its `_COMPACT_COMMIT` marker second, (3) covered
+    * originals (and superseded older compacts) are deleted last. A
+    * crash before (2) leaves an ignored uncommitted dir that the next
+    * compaction overwrites; a crash between (2) and (3) leaves
+    * duplicates on disk that [[extractDirsBefore]] already excludes —
+    * the next call finishes the cleanup. Only dirs strictly before the
+    * CURRENT batch are compacted: the current batch dir may still be
+    * replayed by the engine and must stay individually overwritable. */
+  private[graft] def maybeCompactExtract(spark: SparkSession,
+      extractDir: String, curName: String, every: Int): Unit = {
+    if (every <= 0) return
+    val view = extractDirsBefore(extractDir, curName)
+    val plains = view.filterNot(_.split('/').last.endsWith("_compact"))
+    // finish any interrupted cleanup first (covered leftovers linger
+    // only until the next link step)
+    val allDirs = Fs.listDirs(extractDir, "batch_")
+      .filter(_.split('/').last < curName)
+    allDirs.filterNot(view.contains).foreach(Fs.deleteRecursive)
+    if (plains.size >= every) {
+      val bound = plains.map(_.split('/').last).max
+      val target = s"$extractDir/${bound}_compact"
+      spark.read.parquet(view: _*).write.mode("overwrite").parquet(target)
+      Fs.writeString(s"$target/_COMPACT_COMMIT", "")
+      view.foreach(Fs.deleteRecursive)
+    }
   }
 
   /** One incremental link step over the just-written extract batch.
@@ -110,7 +171,8 @@ object StreamingExtract {
     * state; writes state `batch_<batchId>` and swaps the updated triple
     * table into `workDir/triples`. */
   private[graft] def incrementalLink(spark: SparkSession, workDir: String,
-      batchId: Long, icebergTable: Option[String] = None): Unit = {
+      batchId: Long, icebergTable: Option[String] = None,
+      compactEvery: Int = 16): Unit = {
     import spark.implicits._
     val extractDir = s"$workDir/extract_stream"
     val stateRoot = s"$workDir/state"
@@ -202,8 +264,7 @@ object StreamingExtract {
           val touchedAllKeys = cached(prevCanon
             .join(touchedComps, Seq("canonical"), "leftsemi")
             .select($"entity_key"))
-          val oldDirs = Fs.listDirs(extractDir, "batch_")
-            .filter(d => d.split('/').last < curName)
+          val oldDirs = extractDirsBefore(extractDir, curName)
           val touchedOldPreds =
             if (oldDirs.isEmpty) batchPreds.limit(0)
             else {
@@ -274,6 +335,10 @@ object StreamingExtract {
         .filter(d => d.split('/').last < prevName)
         .foreach(Fs.deleteRecursive)
     }
+    // keep the extract layout bounded: fold accumulated batch dirs into
+    // one compacted dir every `compactEvery` batches (a replay of THIS
+    // batch is untouched — only strictly-earlier dirs compact)
+    maybeCompactExtract(spark, extractDir, curName, compactEvery)
     persisted.foreach(_.unpersist())
     // components() tracks its edge cache in the shared registry — the
     // same release the batch run handle performs post-materialize

@@ -108,6 +108,88 @@ class StreamingExtractSpec extends SparkSpec {
       && r.getString(1) == "calls" && r.getString(2) == CorpusGen.funName(1)))
   }
 
+  test("long run: 20 micro-batches keep the link input bounded while the corpus grows; compaction bounds the extract layout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gazette = CorpusGen.gazette(0.0002)
+    def doc(i: Int): RawDoc = {
+      // two planted gazette functions per doc; every 5th batch revisits
+      // the first pair, so recurring entity keys (and the key-identity
+      // touch leg) are exercised under growth
+      val (a, b) =
+        if (i % 5 == 4) (CorpusGen.funName(0), CorpusGen.funName(1))
+        else (CorpusGen.funName(2 * i), CorpusGen.funName(2 * i + 1))
+      RawDoc(s"repo$i", s"src/f$i.src", "beef" * 3, "scala",
+        s"Function $a calls function $b .\n")
+    }
+    val ms = MemoryStream[RawDoc]
+    val dir = Files.createTempDirectory("graft-stream-long").toString
+    val q = StreamingExtract.runToTriples(spark, ms.toDS(), gazette, dir,
+      compactEvery = 5)
+    val ccInputs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val totals = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      (0 until 20).foreach { i =>
+        ms.addData(Seq(doc(i)))
+        q.processAllAvailable()
+        val m = latestMetrics(dir)
+        ccInputs += m("cc_input_entities")
+        totals += m("total_entities")
+      }
+    } finally q.stop()
+
+    // the incremental-link claim, MEASURED: the accumulated entity table
+    // grows linearly with the stream, the per-batch CC input does not —
+    // late batches touch no more than the early ones did
+    assert(totals.last >= totals(4) * 3,
+      s"corpus did not grow as planted: $totals")
+    assert(ccInputs.drop(10).max <= ccInputs.take(10).max,
+      s"late-batch CC input grew with the corpus: $ccInputs")
+    assert(ccInputs.last.toDouble < totals.last.toDouble / 4,
+      s"final batch re-linked ${ccInputs.last} of ${totals.last} entities")
+
+    // compaction bounded the layout: one committed compact dir stands in
+    // for the folded batches, plains stay under the compaction window,
+    // and the exact row set is preserved (one DocExtract row per doc)
+    val dirs = Fs.listDirs(s"$dir/extract_stream", "batch_")
+    val compacts = dirs.filter(_.split('/').last.endsWith("_compact"))
+    val plains = dirs.filterNot(_.split('/').last.endsWith("_compact"))
+    assert(compacts.nonEmpty, "no compaction after 20 batches at every=5")
+    assert(compacts.forall(d => Fs.exists(s"$d/_COMPACT_COMMIT")))
+    assert(plains.size <= 6, s"compaction left ${plains.size} plain dirs")
+    assert(spark.read.parquet(dirs: _*).count() == 20L)
+
+    // stream == batch after 20 batches, duplicates impossible to hide:
+    // compare sorted sequences
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "evidence_id").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSeq.sorted
+    val streamed = rows(spark.read.parquet(s"$dir/triples"))
+    val (batch, cl) = Pipeline.runWithCleanup(spark,
+      (0 until 20).map(doc).toDS(), gazette)
+    val expected = rows(batch)
+    cl()
+    assert(streamed == expected,
+      s"after 20 batches: streamed ${streamed.size} != batch ${expected.size}")
+
+    // restart over the compacted layout: committed offsets replay
+    // nothing; one more batch still links against the compacted history
+    val q2 = StreamingExtract.runToTriples(spark, ms.toDS(), gazette, dir,
+      compactEvery = 5)
+    try {
+      ms.addData(Seq(doc(20)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed21 = rows(spark.read.parquet(s"$dir/triples"))
+    val (batch21, cl21) = Pipeline.runWithCleanup(spark,
+      (0 until 21).map(doc).toDS(), gazette)
+    val expected21 = rows(batch21)
+    cl21()
+    assert(streamed21 == expected21,
+      "post-restart batch over compacted history diverged from full re-link")
+  }
+
   test("incremental link re-links a component whose entity_key recurs with a form-disjoint smaller alias") {
     // Regression: touch detection matched only on the (kind, form) of the
     // batch's DEDUPED aliases. Coref repointing can attach a created

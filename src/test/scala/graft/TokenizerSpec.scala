@@ -78,6 +78,59 @@ class TokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("Punkt-divergence contract: rule splitter vs NLTK Punkt, boundary by boundary") {
+    // The reference splits sentences with pre-trained NLTK Punkt
+    // (reference tokenizer.py:77-82, Kiss & Strunk 2006 — an
+    // UNSUPERVISED model that learns abbreviations, collocations and
+    // frequent sentence starters from corpus statistics). This repo uses
+    // the deterministic rule splitter above (fixed abbreviation list +
+    // orthographic follow heuristic). On abbreviation-heavy natural
+    // language the boundaries DIVERGE in two documented classes; this
+    // test pins the repo's exact behavior per class so the divergence is
+    // a tested contract, not an unknown. (Punkt cannot run in this
+    // sandbox — its side is documented expectation, our side asserted.)
+    def split(text: String): Seq[String] =
+      Tokenizer.sentenceSpans(text).map { case (i, j) => text.substring(i, j) }
+
+    // AGREEMENT: listed abbreviation mid-sentence — neither splits
+    assert(split("He saw Dr. Smith yesterday. They spoke.") ==
+      Seq("He saw Dr. Smith yesterday.", "They spoke."))
+    // AGREEMENT: single-letter initials — neither splits
+    assert(split("J. K. Rowling wrote it. B. was his codename.") ==
+      Seq("J. K. Rowling wrote it.", "B. was his codename."))
+    // AGREEMENT: ellipsis before a capitalized start — both split
+    assert(split("Wait... Now go.") == Seq("Wait...", "Now go."))
+    // AGREEMENT: lowercase continuation after an unknown dotted form —
+    // neither splits (orthographic evidence beats lexicon both ways)
+    assert(split("It leaves at 5 p.m. on Friday.") ==
+      Seq("It leaves at 5 p.m. on Friday."))
+
+    // DIVERGENCE CLASS 1 — repo UNDER-splits after a listed
+    // abbreviation at a TRUE sentence end: the rule list is absolute
+    // (abbrev => never a boundary), while Punkt weighs the capitalized
+    // frequent sentence starter after it ("The", "Also") and usually
+    // DOES split. Candidate windows and segments shift accordingly.
+    assert(split("They visited Acme Inc. The firm was sold.") ==
+      Seq("They visited Acme Inc. The firm was sold."))       // Punkt: 2
+    assert(split("Bring pens, paper, etc. Also bring lunch.") ==
+      Seq("Bring pens, paper, etc. Also bring lunch."))       // Punkt: 2
+
+    // DIVERGENCE CLASS 2 — repo OVER-splits after an UNLISTED
+    // abbreviation followed by a capitalized word: the fixed list has
+    // no entry (e.g. "Blvd", "p.m"), so the orthographic heuristic
+    // fires, while pre-trained Punkt has learned these as abbreviations
+    // and typically keeps the sentence together.
+    assert(split("He lives on Elm Blvd. Two blocks away.") ==
+      Seq("He lives on Elm Blvd.", "Two blocks away."))       // Punkt: 1
+    assert(split("The meeting is at 5 p.m. Next week we resume.") ==
+      Seq("The meeting is at 5 p.m.", "Next week we resume.")) // Punkt: 1 (starter stats may flip it)
+
+    // The consequence the pipeline inherits: a moved boundary moves the
+    // segmenter's windows, hence candidate sets, on natural-language
+    // corpora. The code-corpus north rule and the replayed reference
+    // fixtures are unaffected (fixed "." + newline conventions).
+  }
+
   test("sentences start at 0 and end at token count") {
     val tk = Tokenizer("The wolf killed a duck. What a pitty")
     assert(tk.sentences.head == 0)
