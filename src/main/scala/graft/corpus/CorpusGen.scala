@@ -129,9 +129,14 @@ object CorpusGen {
     import spark.implicits._
     // 4x cores input splits: smooths stragglers (doc sizes vary 2x) the
     // same way small parquet splits do on a real scan; content is
-    // seeded per-index so the partitioning never affects the data
-    val parts = spark.sparkContext.defaultParallelism * 4
-    spark.range(0, numDocs(sf), 1, parts).map(i => genOne(sf, seed, i))
+    // seeded per-index so the partitioning never affects the data.
+    // Capped at the doc count: a tiny corpus (kg_triples' sf=0.0002 is
+    // 40 docs) on 128 splits pays ~90 empty tasks' scheduling + per-
+    // partition rule-NFA compiles per stage — measured several seconds
+    // of pure cold-start at local[32].
+    val n = numDocs(sf)
+    val parts = math.min(spark.sparkContext.defaultParallelism * 4, n)
+    spark.range(0, n.toLong, 1, parts).map(i => genOne(sf, seed, i))
   }
 
   def rawDocs(spark: SparkSession, sf: Double, seed: Long = 42L): Dataset[RawDoc] = {
