@@ -134,25 +134,58 @@ object TextOps {
       rows: Int = 4): DataFrame = {
     val k = bands * rows
     val mh = minhash(documents, k)
-    val bandKeys = (0 until bands).map { b =>
-      val slots = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
-      struct(lit(b).as("band_idx"),
-        md5(concat_ws("|", slots: _*)).as("bkey"))
-    }
-    // the band table is tiny (docs x bands rows of (id, int, 32-char
-    // key)) but expensive to derive (text scan + k md5-minima per doc) —
-    // persist it so the self-join's two sides don't recompute the scan.
+    // band keys as COLUMNS (no explode): one row per doc carrying all
+    // `bands` keys. The per-doc key table is tiny (docs x bands 32-char
+    // keys) but expensive to derive (text scan + k md5-minima per doc) —
+    // persist it so the per-band self-joins don't recompute the scan.
     // Tracked: Caches.release() (bench harness / pipeline run handle)
     // unpersists it once downstream results are materialized.
-    val exploded = graft.pipeline.Caches.tracked(mh
-      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_idx"), col("bk.bkey")))
-    val l = exploded.select(col("doc_id").as("a"), col("band_idx"),
-      col("bkey"))
-    val r = exploded.select(col("doc_id").as("b"), col("band_idx"),
-      col("bkey"))
-    l.join(r, Seq("band_idx", "bkey")).where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val bandKeys = (0 until bands).map { b =>
+      val slots = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
+      md5(concat_ws("|", slots: _*)).as(s"bk_$b")
+    }
+    // round-robin repartition before caching: the key table is the
+    // LEFT side of every band join below, and with the post-join
+    // exchange gone its partitioning IS the parallelism of the whole
+    // candidate/verify stream. A small parquet input scans as one
+    // partition, which would serialize the quadratic probe work onto
+    // one task; the repartition costs one exchange of the id+keys
+    // table (O(docs * bands) bytes — nothing next to the removed
+    // candidate dedup exchange) and is scale-adaptive via
+    // defaultParallelism rather than a constant.
+    val sig = graft.pipeline.Caches.tracked(
+      mh.select(col("doc_id") +: bandKeys: _*)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism))
+    // FIRST-MATCHING-BAND dedup instead of a candidate DISTINCT: band
+    // b's join emits a pair only when the docs agree on band b AND
+    // disagree on every band j < b, so each candidate pair is produced
+    // by exactly one band — the same set the banded-union DISTINCT
+    // yields, without it. The old shape (explode to (doc, band, key),
+    // one self-join, distinct) re-emitted every pair once per shared
+    // band and then shuffled the whole near-quadratic candidate stream
+    // into a two-phase dedup exchange; measured at SF=0.1 that stream
+    // is 13.28M pre-distinct rows for 6.74M pairs — the dedup exchange
+    // dominated d6/d7/d12/d14. Now pairs flow straight from the
+    // per-band join probes (narrow; zero post-join exchange) and the
+    // quadratic stream is never shuffled at any scale. Cost shape:
+    // `bands` equi-joins of the key table with itself (AQE
+    // broadcast-or-shuffle decided) instead of one — key-table rows are
+    // id + `bands` keys wide, so the extra join-side bytes are
+    // O(docs * bands), while the removed dedup exchange was
+    // O(candidate pairs): strictly the right trade once buckets
+    // produce more than ~1 candidate per doc.
+    val perBand = (0 until bands).map { b =>
+      val l = sig.select(col("doc_id").as("a") +:
+        (0 to b).map(j => col(s"bk_$j").as(s"ka_$j")): _*)
+      val r = sig.select(col("doc_id").as("b") +:
+        (0 to b).map(j => col(s"bk_$j").as(s"kb_$j")): _*)
+      val firstMatchHere = (0 until b)
+        .map(j => col(s"ka_$j") =!= col(s"kb_$j"))
+        .foldLeft(col("a") < col("b"))(_ && _)
+      l.join(r, col(s"ka_$b") === col(s"kb_$b") && firstMatchHere)
+        .select(col("a"), col("b"))
+    }
+    perBand.reduce(_ unionByName _)
   }
 
   /** Exact token-set Jaccard for candidate pairs (verification stage of
@@ -177,17 +210,22 @@ object TextOps {
     // sides) — without a persist each side recomputes the full text scan
     // + tokenize + hash (measured ~2x on the verify stage). Tracked like
     // the band table in lshCandidatePairs; Caches.release() unpersists.
+    // sorted ascending so the per-pair intersect is an allocation-free
+    // merge count (IntersectCountSorted) instead of a per-pair hash set
+    // + result array — the sort is paid once per doc, the merge once
+    // per candidate pair
     val docTok = graft.pipeline.Caches.tracked(
       documents.select(col("doc_id").cast("long").as("doc_id"),
-        transform(array_distinct(tokens(col("text"))), t => xxhash64(t))
-          .as("toks"))
+        sort_array(transform(array_distinct(tokens(col("text"))),
+          t => xxhash64(t))).as("toks"))
         .withColumn("n", size(col("toks"))))
     pairs
       .join(dimSide(docTok.select(col("doc_id").as("a"),
         col("toks").as("ta"), col("n").as("na"))), "a")
       .join(dimSide(docTok.select(col("doc_id").as("b"),
         col("toks").as("tb"), col("n").as("nb"))), "b")
-      .withColumn("ni", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("ni",
+        graft.functions.IntersectCountSorted.count(col("ta"), col("tb")))
       .select(col("a"), col("b"),
         round(col("ni").cast("double") /
           (col("na") + col("nb") - col("ni")).cast("double"), 4)
@@ -204,12 +242,13 @@ object TextOps {
       w: Int = 3): DataFrame = {
     val toks = tokens(col("text"))
     val n = size(toks)
-    val shingles = array_distinct(transform(
+    val shingles = sort_array(array_distinct(transform(
       sequence(lit(0), greatest(n - w, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w))))))
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w)))))))
     // persisted for the same reason as docTok in [[jaccardOfPairs]]:
     // shingling (w slices + hash per token position) is the most
-    // expensive dimension derivation in the suite and feeds both sides
+    // expensive dimension derivation in the suite and feeds both sides;
+    // sorted for the same merge-count reason
     val docSh = graft.pipeline.Caches.tracked(
       documents.select(col("doc_id").cast("long").as("doc_id"),
         shingles.as("sh")).withColumn("n", size(col("sh"))))
@@ -218,7 +257,8 @@ object TextOps {
         col("sh").as("sa"), col("n").as("na"))), "a")
       .join(dimSide(docSh.select(col("doc_id").as("b"),
         col("sh").as("sb"), col("n").as("nb"))), "b")
-      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("ni",
+        graft.functions.IntersectCountSorted.count(col("sa"), col("sb")))
       .select(col("a"), col("b"),
         round(col("ni").cast("double") /
           (col("na") + col("nb") - col("ni")).cast("double"), 4)
@@ -239,12 +279,13 @@ object TextOps {
       w: Int = 3): DataFrame = {
     val toks = tokens(col("text"))
     val n = size(toks)
-    val shingles = array_distinct(transform(
+    val shingles = sort_array(array_distinct(transform(
       sequence(lit(0), greatest(n - w, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w))))))
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w)))))))
     val dims = graft.pipeline.Caches.tracked(
       documents.select(col("doc_id").cast("long").as("doc_id"),
-        transform(array_distinct(toks), t => xxhash64(t)).as("toks"),
+        sort_array(transform(array_distinct(toks), t => xxhash64(t)))
+          .as("toks"),
         shingles.as("sh"))
         .withColumn("nt", size(col("toks")))
         .withColumn("ns", size(col("sh"))))
@@ -255,8 +296,10 @@ object TextOps {
       .join(dimSide(dims.select(col("doc_id").as("b"),
         col("toks").as("tb"), col("sh").as("sb"),
         col("nt").as("ntb"), col("ns").as("nsb"))), "b")
-      .withColumn("nit", size(array_intersect(col("ta"), col("tb"))))
-      .withColumn("nis", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("nit",
+        graft.functions.IntersectCountSorted.count(col("ta"), col("tb")))
+      .withColumn("nis",
+        graft.functions.IntersectCountSorted.count(col("sa"), col("sb")))
       .select(col("a"), col("b"),
         round(col("nit").cast("double") /
           (col("nta") + col("ntb") - col("nit")).cast("double"), 4)
@@ -309,18 +352,29 @@ object TextOps {
     * banding is the deliberate precision/recall/cost point. */
   def simhashNearDupPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
     val sig = graft.pipeline.Caches.tracked(simhash(documents))
+    def band(i: Int, c: Column): Column =
+      shiftright(c, i * 16).bitwiseAND(0xffffL)
+    // FIRST-MATCHING-BAND dedup, same construction as
+    // [[lshCandidatePairs]]: band i emits a pair only when its 16-bit
+    // slices agree and every earlier band's differ — each (a, b) comes
+    // out of exactly one band, replacing the union-then-DISTINCT whose
+    // dedup exchange shuffled the whole near-quadratic candidate
+    // stream. The earlier-band predicates are bitwise slices of the
+    // sa/sb columns the join already carries, so the extra filter costs
+    // no width. The Hamming cut then applies per-row on the narrow
+    // stream (it commutes with the dedup: hamming is a function of the
+    // pair).
     val bands = (0 until 4).map { i =>
-      val band = shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)
-      val l = sig.select(col("doc_id").as("a"), col("simhash").as("sa"),
-        band.as("band"))
-      val r = sig.select(col("doc_id").as("b"), col("simhash").as("sb"),
-        band.as("band"))
-      l.join(r, "band").where(col("a") < col("b"))
+      val l = sig.select(col("doc_id").as("a"), col("simhash").as("sa"))
+      val r = sig.select(col("doc_id").as("b"), col("simhash").as("sb"))
+      val firstMatchHere = (0 until i)
+        .map(j => band(j, col("sa")) =!= band(j, col("sb")))
+        .foldLeft(col("a") < col("b"))(_ && _)
+      l.join(r, band(i, col("sa")) === band(i, col("sb")) && firstMatchHere)
         .select(col("a"), col("b"),
           bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
     }
-    bands.reduce(_ unionByName _).distinct()
-      .where(col("hamming") <= maxHamming)
+    bands.reduce(_ unionByName _).where(col("hamming") <= maxHamming)
   }
 
   /** TF-IDF top-k terms per document: tf = in-doc term count, idf =

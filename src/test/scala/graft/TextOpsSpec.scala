@@ -137,6 +137,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("IntersectCountSorted == size(array_intersect) on sorted distinct longs") {
+    // the merge-count expression replaces size(array_intersect) on the
+    // verify path; prove equality on deterministic pseudo-random sorted
+    // distinct arrays plus the edge shapes (empty, disjoint, identical)
+    val rows = (0 until 200).map { i =>
+      val a = (0 until (i % 37)).map(j => ((j * 2654435761L + i) % 97) - 48)
+        .distinct.sorted.toArray
+      val b = (0 until ((i * 7) % 41)).map(j => ((j * 40503L + i * 13) % 97) - 48)
+        .distinct.sorted.toArray
+      (a, b)
+    } ++ Seq(
+      (Array.empty[Long], Array.empty[Long]),
+      (Array(1L, 2L, 3L), Array.empty[Long]),
+      (Array(-5L, 0L, 7L), Array(-5L, 0L, 7L)),
+      (Array(Long.MinValue, 0L), Array(0L, Long.MaxValue)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.IntersectCountSorted.count(col("a"), col("b")).as("m"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"merge count ${r.getInt(0)} != array_intersect size ${r.getInt(1)}"))
+  }
+
   test("repetitionScores: Gopher dup-line / top-2gram golden values") {
     val docs = Seq(
       // lines [aa bb, aa bb, cc]: dup 1/3, dup chars 5/12; space-split
