@@ -54,39 +54,46 @@ object NextSegment {
       evidences: DataFrame,
       labels: DataFrame,
       judge: String): DataFrame = {
-    val human = labels.filter(!col("by_machine"))
-
-    val b1 = human
-      .filter(col("label").isNull && col("judge") === judge)
-      .join(evidences, "evidence_id")
-      .select(col("segment_id"), lit(1).as("priority"))
-
-    val b2 = evidences
-      .join(human.select(col("evidence_id")), Seq("evidence_id"),
-        "left_anti")
-      .select(col("segment_id"), lit(2).as("priority"))
-
+    // One aggregation pass over labels computes every per-evidence
+    // existence flag the five branches test — the branch-per-queryset
+    // shape re-derived and re-joined the label table five times (and
+    // the evidence table four), paying ~9 joins/exchanges for what is
+    // per-evidence boolean algebra. Flags are algebraic max-of-bool
+    // aggregates (map-side combinable), the five-way priority is a
+    // single when-cascade ordered by priority (first hit == min, since
+    // 1 < 2 < 4 < 5), and only branch 3 still needs the segments
+    // anti-join. Branch semantics are unchanged (NextSegmentSpec +
+    // the q11 oracle pin them):
+    //   1: a human row with NULL label by THIS judge
+    //   2: no human row at all
+    //   4: no good (YE/NO/NS) label from anyone, machine included
+    //   5: a human row with NULL label by any judge
+    val human = !col("by_machine")
+    val flags = labels.groupBy(col("evidence_id")).agg(
+      max(human && col("label").isNull && col("judge") === judge)
+        .as("own_null"),
+      max(human).as("has_human"),
+      max(col("label").isin(NotNeedRelabel: _*)).as("has_good"),
+      max(human && col("label").isNull).as("human_null"))
+    val ev = evidences.join(flags, Seq("evidence_id"), "left")
+    val priority = when(col("own_null"), 1)
+      .when(col("has_human").isNull || !col("has_human"), 2)
+      .when(col("has_good").isNull || !col("has_good"), 4)
+      .when(col("human_null"), 5)
+    val evBranches = ev
+      .select(col("segment_id"), priority.as("priority"))
+      .where(col("priority").isNotNull)
+    // branch 3: segments none of whose evidences carry ANY label row —
+    // an evidence with any label row appears in `flags`, so the inner
+    // join above IS the "considered" set
     val considered = evidences
-      .join(labels.select(col("evidence_id")), Seq("evidence_id"),
+      .join(flags.select(col("evidence_id")), Seq("evidence_id"),
         "left_semi")
       .select(col("segment_id"))
     val b3 = segments
       .join(considered, Seq("segment_id"), "left_anti")
       .select(col("segment_id"), lit(3).as("priority"))
-
-    val good = labels
-      .filter(col("label").isin(NotNeedRelabel: _*))
-      .select(col("evidence_id"))
-    val b4 = evidences
-      .join(good, Seq("evidence_id"), "left_anti")
-      .select(col("segment_id"), lit(4).as("priority"))
-
-    val b5 = human
-      .filter(col("label").isNull)
-      .join(evidences, "evidence_id")
-      .select(col("segment_id"), lit(5).as("priority"))
-
-    b1.unionByName(b2).unionByName(b3).unionByName(b4).unionByName(b5)
+    evBranches.unionByName(b3)
       .groupBy(col("segment_id"))
       .agg(min(col("priority")).as("priority"))
   }

@@ -3,6 +3,7 @@ package graft.simsearch
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.textops.TextOps.spread
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -111,7 +112,9 @@ object SimSearch {
     * baseline the LSH-bucketed variant is measured against; at corpus
     * scale use [[lshNearDupPairs]]. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("id").as("a"), col("embedding").as("ea"))
+    // spread the streamed side: all O(n^2/2) cosines of the exact
+    // baseline run on its partitions (see TextOps.spread)
+    val a = spread(corpus).select(col("id").as("a"), col("embedding").as("ea"))
     val b = corpus.select(col("id").as("b"), col("embedding").as("eb"))
     a.crossJoin(b).where(col("a") < col("b"))
       .select(col("a"), col("b"),

@@ -34,6 +34,21 @@ object TextOps {
         .contains("force")) broadcast(df)
     else df
 
+  /** Scale-adaptive scan parallelism for compute-heavy narrow
+    * operators: when the input's plan yields fewer partitions than the
+    * cluster has cores (tiny corpus, single-row-group file), spread it
+    * with one round-robin repartition so per-row compute uses every
+    * core; when the scan already carries >= cores partitions — any
+    * at-scale input — this is a NO-OP and nothing is shuffled. The
+    * alternative (a constant repartition) would re-shuffle the whole
+    * corpus at scale; the alternative constant (nothing) serializes
+    * per-doc work onto one task whenever an input collapses to one
+    * split, which is what a 128 MB-splittable small file does. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact duplicate groups: digest -> surviving doc + duplicate count.
     * md5 keeps the oracle cross-engine (same hex in DuckDB). */
   def dedupExact(documents: DataFrame): DataFrame =
@@ -59,7 +74,7 @@ object TextOps {
     val toks = tokens(col("text"))
     val nTok = size(toks)
     val stopArr = array(stopwords.map(lit): _*)
-    documents.select(
+    spread(documents).select(
       col("doc_id").cast("long").as("doc_id"),
       nTok.cast("long").as("n_tokens"),
       size(filter(toks, t => array_contains(stopArr, t)))
@@ -94,7 +109,7 @@ object TextOps {
     // take the head -> ties go to the lexicographically largest lang
     // (the oracle SQL uses the same ORDER BY score DESC, lang DESC)
     val arr = sort_array(array(scored: _*), asc = false)
-    documents.select(
+    spread(documents).select(
       col("doc_id").cast("long").as("doc_id"),
       arr.getItem(0).getField("lang").as("pred_lang"),
       arr.getItem(0).getField("score").as("score"))
@@ -149,10 +164,11 @@ object TextOps {
     // exchange gone its partitioning IS the parallelism of the whole
     // candidate/verify stream. A small parquet input scans as one
     // partition, which would serialize the quadratic probe work onto
-    // one task; the repartition costs one exchange of the id+keys
-    // table (O(docs * bands) bytes — nothing next to the removed
-    // candidate dedup exchange) and is scale-adaptive via
-    // defaultParallelism rather than a constant.
+    // one task; repartitioning AFTER the key derivation exchanges only
+    // id+keys rows (O(docs * bands) bytes), the cheapest point to buy
+    // the parallelism (measured: spreading the text before the
+    // derivation instead costs one more AQE stage than it saves at
+    // this derivation's per-row weight).
     val sig = graft.pipeline.Caches.tracked(
       mh.select(col("doc_id") +: bandKeys: _*)
         .repartition(documents.sparkSession.sparkContext.defaultParallelism))
@@ -250,7 +266,7 @@ object TextOps {
     // expensive dimension derivation in the suite and feeds both sides;
     // sorted for the same merge-count reason
     val docSh = graft.pipeline.Caches.tracked(
-      documents.select(col("doc_id").cast("long").as("doc_id"),
+      spread(documents).select(col("doc_id").cast("long").as("doc_id"),
         shingles.as("sh")).withColumn("n", size(col("sh"))))
     pairs
       .join(dimSide(docSh.select(col("doc_id").as("a"),
@@ -283,7 +299,7 @@ object TextOps {
       sequence(lit(0), greatest(n - w, lit(0))),
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w)))))))
     val dims = graft.pipeline.Caches.tracked(
-      documents.select(col("doc_id").cast("long").as("doc_id"),
+      spread(documents).select(col("doc_id").cast("long").as("doc_id"),
         sort_array(transform(array_distinct(toks), t => xxhash64(t)))
           .as("toks"),
         shingles.as("sh"))
@@ -315,27 +331,18 @@ object TextOps {
     * — hash choice is arbitrary by construction, and md5 has an exact
     * DuckDB twin, so the oracle is hash-exact cross-engine (xxhash64,
     * used in round 2, has none). */
-  def simhash(documents: DataFrame): DataFrame = {
-    val exploded = documents
+  def simhash(documents: DataFrame): DataFrame =
+    // fused codegen'd SimHashSig: the signature is a pure per-doc
+    // function, so it is computed as a narrow projection — the previous
+    // explode + 64-aggregate groupBy shuffled a 65-column token stream
+    // for something that never needed an exchange (TextOpsSpec pins the
+    // banding behavior; the d8 DuckDB oracle pins hash-exact values).
+    // The isNotNull guard mirrors the old explode semantics, which
+    // dropped a null-text doc instead of emitting a null signature.
+    spread(documents.where(col("text").isNotNull))
       .select(col("doc_id").cast("long").as("doc_id"),
-        explode(array_distinct(tokens(col("text")))).as("t"))
-      .withColumn("hx", md5(col("t")))
-    // 16 nibble values (0..15), one per hex char of the first half
-    val withNibbles = exploded.select(
-      col("doc_id") +: (0 until 16).map(j =>
-        conv(substring(col("hx"), j + 1, 1), 16, 10).cast("int")
-          .as(s"nb$j")): _*)
-    val bitSums = (0 until 64).map { i =>
-      val bit = shiftright(col(s"nb${i / 4}"), i % 4).bitwiseAND(1)
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agg = withNibbles.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), sig.as("simhash"))
-  }
+        graft.functions.SimHashSig.sig(
+          array_distinct(tokens(col("text")))).as("simhash"))
 
   /** SimHash near-duplicate pairs: candidates share a 16-bit band of the
     * 64-bit signature (4 bands -> one shuffle per band on tiny keys),
@@ -351,6 +358,8 @@ object TextOps {
     * collides into near-all-pairs buckets at corpus scale — the 4x16
     * banding is the deliberate precision/recall/cost point. */
   def simhashNearDupPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
+    // [[spread]] inside [[simhash]] keeps the cached signature table —
+    // the left side of every band join — at >= cores partitions
     val sig = graft.pipeline.Caches.tracked(simhash(documents))
     def band(i: Int, c: Column): Column =
       shiftright(c, i * 16).bitwiseAND(0xffffL)
@@ -388,8 +397,9 @@ object TextOps {
     * unkeyed window, no all-pairs stage. */
   def tfidfTopK(documents: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = documents.select(col("doc_id").cast("long").as("doc_id"),
-      explode(tokens(col("text"))).as("term"))
+    val tok = documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(tokens(col("text"))).as("term"))
     // tf feeds BOTH the score and the document frequency: tf already
     // has exactly one row per distinct (doc, term), so df = its count
     // per term — deriving dfreq from tok instead would re-run the
@@ -420,7 +430,7 @@ object TextOps {
     val shingles = transform(
       sequence(lit(0), greatest(n - w, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(w))))
-    documents.select(col("doc_id").cast("long").as("doc_id"),
+    spread(documents).select(col("doc_id").cast("long").as("doc_id"),
       array_min(transform(shingles, s => md5(s))).as("fingerprint"))
   }
 
@@ -475,7 +485,7 @@ object TextOps {
             run * length(x).cast("long")).as("best"))
       },
       acc => acc.getField("best"))
-    documents.select(
+    spread(documents).select(
       col("doc_id").cast("long").as("doc_id"),
       size(lines).cast("long").as("n_lines"),
       round((size(lines) - size(array_distinct(lines)))
