@@ -257,14 +257,16 @@ object MultimodalOps {
           var o = from
           while (o + 8 <= to) {
             val id = fourcc(o)
-            val sz = u32(o + 4).toInt
+            val szL = u32(o + 4)
             val body = o + 8
-            // reject malformed sizes up front: a u32 above 2^31 goes
-            // NEGATIVE through .toInt (0xFFFFFFF8 -> -8); it would slip
-            // past the truncation guard and then step `o` backwards —
-            // an unkillable loop inside the executor's flatMap that the
-            // catch-to-None fallback never sees (no exception is thrown)
-            if (sz < 0 || body + sz > bytes.length) return // malformed/truncated: stop
+            // reject malformed sizes up front, comparing in LONG: a u32
+            // above 2^31 goes negative through .toInt and an Int
+            // `body + sz` wraps for sz near 2^31 — either way a bogus
+            // oversized frame would slip past an Int-arithmetic guard
+            // (and the negative-size case would then step `o` backwards
+            // into an unkillable executor loop)
+            if (body.toLong + szL > bytes.length) return // malformed/truncated: stop
+            val sz = szL.toInt // safe: bounded by bytes.length above
             if (id == "LIST" && sz >= 4) walk(body + 4, body + sz)
             else if (id == "strf" && sz >= 40 && compression == -1L) {
               // first strf: BITMAPINFOHEADER (biSize u32, biWidth s32,

@@ -83,11 +83,17 @@ final class IcebergTripleSink extends TripleSink {
     * membership, then an APPEND of the rebuilt rows.
     *
     * Replay safety (the streaming sink's at-least-once contract): the
-    * DELETE predicate covers exactly the component space the APPEND
-    * writes into — `rebuilt` rows all carry touched-component subjects
-    * or objects — so a crash between the two statements, or a full
-    * re-run of the batch, converges to the same table instead of
-    * duplicating rows. On Iceberg each statement is one isolated
+    * DELETE predicate covers the WHOLE component space the APPEND
+    * writes into — the union of the touched PRIOR canonicals and
+    * `rebuilt`'s own distinct subj/obj. Touched prior canonicals alone
+    * are not enough: `rebuilt` also carries rows under NEW canonicals —
+    * brand-new components from batch-only entities, and touched
+    * components whose min-alias canonical changed after re-CC — and on
+    * an at-least-once replay (crash after INSERT, before the streaming
+    * checkpoint commit) those rows would survive a prior-canonical-only
+    * DELETE and be appended again. With the union predicate a crash
+    * between the two statements, or a full re-run of the batch,
+    * converges to the same table instead of duplicating rows. On Iceberg each statement is one isolated
     * snapshot; readers between the two see a table missing only
     * touched-component rows, never a torn file set (the same guarantee
     * the parquet path gets from its swap dir).
@@ -102,7 +108,7 @@ final class IcebergTripleSink extends TripleSink {
     touched.createOrReplaceTempView(tv)
     rebuilt.createOrReplaceTempView(rv)
     try {
-      spark.sql(IcebergTripleSink.deleteStatement(target, tv))
+      spark.sql(IcebergTripleSink.deleteStatement(target, tv, rv))
       spark.sql(
         s"INSERT INTO $target SELECT subj, pred, obj, evidence_id FROM $rv")
     } finally {
@@ -125,14 +131,19 @@ object IcebergTripleSink {
     try { load("org.apache.iceberg.spark.SparkCatalog"); true }
     catch { case _: Throwable => false }
 
-  /** The touched-component DELETE of [[IcebergTripleSink.writeIncremental]]
+  /** The component-space DELETE of [[IcebergTripleSink.writeIncremental]]
     * (extracted so the statement shape is spec-assertable without an
     * executing Iceberg catalog: DELETE + IN-subqueries run through
-    * Iceberg's row-level operations, which no fake can emulate). */
+    * Iceberg's row-level operations, which no fake can emulate). The
+    * deleted key set is the union of touched prior canonicals and the
+    * rebuilt rows' own subj/obj — see the replay-safety note on
+    * [[IcebergTripleSink.writeIncremental]]. */
   private[graft] def deleteStatement(target: String,
-      touchedView: String): String =
-    s"DELETE FROM $target WHERE subj IN (SELECT canonical FROM " +
-      s"$touchedView) OR obj IN (SELECT canonical FROM $touchedView)"
+      touchedView: String, rebuiltView: String): String = {
+    val keys = s"SELECT canonical FROM $touchedView UNION " +
+      s"SELECT subj FROM $rebuiltView UNION SELECT obj FROM $rebuiltView"
+    s"DELETE FROM $target WHERE subj IN ($keys) OR obj IN ($keys)"
+  }
 }
 
 /** Plain-parquet bucket analog (every property of the north rule except

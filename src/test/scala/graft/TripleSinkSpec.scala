@@ -81,12 +81,16 @@ class TripleSinkSpec extends SparkSpec {
     import spark.implicits._
     // the DELETE half runs through Iceberg's row-level operations
     // (IN-subqueries), which no fake catalog can emulate — its shape is
-    // the contract: delete exactly the component space the APPEND
-    // re-writes, so a replay converges instead of duplicating
-    val del = IcebergTripleSink.deleteStatement("cat.db.t", "touched_v")
-    assert(del == "DELETE FROM cat.db.t WHERE subj IN " +
-      "(SELECT canonical FROM touched_v) OR obj IN " +
-      "(SELECT canonical FROM touched_v)")
+    // the contract: delete the WHOLE component space the APPEND
+    // re-writes (touched prior canonicals UNION rebuilt's subj/obj —
+    // rebuilt rows under NEW canonicals would otherwise survive a
+    // replay's DELETE and duplicate), so a replay converges
+    val del = IcebergTripleSink.deleteStatement("cat.db.t", "touched_v",
+      "rebuilt_v")
+    val keys = "SELECT canonical FROM touched_v UNION " +
+      "SELECT subj FROM rebuilt_v UNION SELECT obj FROM rebuilt_v"
+    assert(del == s"DELETE FROM cat.db.t WHERE subj IN ($keys) " +
+      s"OR obj IN ($keys)")
 
     // the APPEND half executes against the fake catalog: INSERT INTO an
     // existing table must ADD rows, never replace them
