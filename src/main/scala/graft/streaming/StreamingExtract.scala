@@ -106,63 +106,117 @@ object StreamingExtract {
       .start()
   }
 
+  /** Tier of an extract dir name: plain batch dirs are tier 0, tiered
+    * compacts `batch_XXXXXXXX_cT` are tier T, and LEGACY cumulative
+    * compacts `batch_XXXXXXXX_compact` (which by construction folded
+    * EVERYTHING up to their bound) rank above every tier so the
+    * supersession rule below treats them as the covering prefix they
+    * are. */
+  private def tierOf(name: String): Int =
+    if (name.endsWith("_compact")) Int.MaxValue
+    else {
+      val i = name.lastIndexOf("_c")
+      if (i > 0 && name.drop(i + 2).nonEmpty &&
+          name.drop(i + 2).forall(_.isDigit)) name.drop(i + 2).toInt
+      else 0
+    }
+
+  /** Covered-range upper bound of an extract dir name (the plain batch
+    * name itself for tier 0). */
+  private def boundOf(name: String): String =
+    if (name.endsWith("_compact")) name.stripSuffix("_compact")
+    else if (tierOf(name) > 0) name.take(name.lastIndexOf("_c"))
+    else name
+
   /** The committed extract dirs strictly BEFORE `curName`, compaction
-    * aware: when a committed `*_compact` dir exists, it stands in for
-    * every plain batch dir up to its bound (whether or not their
-    * originals were already deleted — a crash between the compact
-    * commit and the cleanup leaves both on disk, and reading both
-    * would double-count rows). */
+    * aware. Compacts are size-tiered (see [[maybeCompactExtract]]):
+    * tier T+1 dirs fold `every` CONSECUTIVE OLDEST tier-T units, so at
+    * any moment the committed tiers partition the batch sequence into
+    * a prefix of high tiers and a tail of lower ones. The live view is
+    * therefore: every committed dir NOT superseded by a committed
+    * HIGHER-tier compact whose bound reaches it (a crash between a
+    * compact's commit marker and the deletion of its inputs leaves
+    * both on disk; reading both would double-count rows). */
   private[graft] def extractDirsBefore(extractDir: String,
       curName: String): Seq[String] = {
-    val all = Fs.listDirs(extractDir, "batch_")
-      .filter(_.split('/').last < curName)
-    val (compacts, plains) =
-      all.partition(_.split('/').last.endsWith("_compact"))
-    val committed = compacts
-      .filter(d => Fs.exists(s"$d/_COMPACT_COMMIT"))
-    if (committed.isEmpty) plains
-    else {
-      // newest committed compact covers everything <= its bound; older
-      // compacts are superseded and covered plains are duplicates
-      val best = committed.maxBy(_.split('/').last)
-      val bound = best.split('/').last.stripSuffix("_compact")
-      best +: plains.filter(_.split('/').last > bound)
-    }
+    val committed = Fs.listDirs(extractDir, "batch_")
+      .filter(d => boundOf(d.split('/').last) < curName)
+      .filter(d => tierOf(d.split('/').last) == 0 ||
+        Fs.exists(s"$d/_COMPACT_COMMIT"))
+    committed.filterNot { d =>
+      val n = d.split('/').last
+      committed.exists { c =>
+        val cn = c.split('/').last
+        tierOf(cn) > tierOf(n) && boundOf(cn) >= boundOf(n)
+      }
+    }.sortBy(d => boundOf(d.split('/').last))
   }
 
-  /** Fold the accumulated per-batch extract dirs into ONE compacted dir
-    * once `every` plain batch dirs exist. At real trigger rates the
-    * one-dir-per-batch layout is a small-files bomb on an object store
-    * (every incremental link re-lists and re-opens them); compaction
-    * keeps the dir count bounded by `every` + 1 while preserving the
-    * exact row set and the replay contract.
+  /** Size-tiered compaction of the extract layout: whenever `every`
+    * units of one tier exist, the OLDEST `every` fold into one unit of
+    * the next tier (`batch_<bound>_c<tier+1>`, bound = the fold's max
+    * covered batch), cascading upward until no tier is full. At real
+    * trigger rates the one-dir-per-batch layout is a small-files bomb
+    * on an object store (every incremental link re-lists and re-opens
+    * them); tiering keeps the dir count at O(every * log_every(N))
+    * while each row is rewritten only when it climbs a tier — total
+    * rewrite O(N log N) bytes over a stream's lifetime. The previous
+    * single-compact scheme folded the WHOLE prefix into a fresh
+    * cumulative compact every `every` batches: O(N^2 / every) bytes
+    * rewritten, which at real trigger rates makes compaction itself
+    * the dominant write cost of the stream.
     *
-    * Crash safety, step by step: (1) the compacted dir is written
-    * first, (2) its `_COMPACT_COMMIT` marker second, (3) covered
-    * originals (and superseded older compacts) are deleted last. A
-    * crash before (2) leaves an ignored uncommitted dir that the next
-    * compaction overwrites; a crash between (2) and (3) leaves
-    * duplicates on disk that [[extractDirsBefore]] already excludes —
-    * the next call finishes the cleanup. Only dirs strictly before the
-    * CURRENT batch are compacted: the current batch dir may still be
-    * replayed by the engine and must stay individually overwritable. */
+    * Crash safety, per fold: (1) the compacted dir is written first,
+    * (2) its `_COMPACT_COMMIT` marker second, (3) the folded inputs
+    * are deleted last. A crash before (2) leaves an ignored
+    * uncommitted dir that the same deterministic fold overwrites on
+    * the next call; a crash between (2) and (3) leaves duplicates on
+    * disk that [[extractDirsBefore]]'s supersession rule already
+    * excludes — the cleanup sweep here finishes the deletion. Only
+    * dirs strictly before the CURRENT batch are compacted: the current
+    * batch dir may still be replayed by the engine and must stay
+    * individually overwritable.
+    *
+    * Returns the number of rows rewritten (0 when nothing folded) so
+    * callers/specs can audit the cumulative rewrite cost. */
   private[graft] def maybeCompactExtract(spark: SparkSession,
-      extractDir: String, curName: String, every: Int): Unit = {
-    if (every <= 0) return
-    val view = extractDirsBefore(extractDir, curName)
-    val plains = view.filterNot(_.split('/').last.endsWith("_compact"))
-    // finish any interrupted cleanup first (covered leftovers linger
+      extractDir: String, curName: String, every: Int): Long = {
+    if (every <= 0) return 0L
+    var rewritten = 0L
+    // finish any interrupted cleanup first (superseded leftovers linger
     // only until the next link step)
-    val allDirs = Fs.listDirs(extractDir, "batch_")
-      .filter(_.split('/').last < curName)
-    allDirs.filterNot(view.contains).foreach(Fs.deleteRecursive)
-    if (plains.size >= every) {
-      val bound = plains.map(_.split('/').last).max
-      val target = s"$extractDir/${bound}_compact"
-      spark.read.parquet(view: _*).write.mode("overwrite").parquet(target)
-      Fs.writeString(s"$target/_COMPACT_COMMIT", "")
-      view.foreach(Fs.deleteRecursive)
+    def sweep(): Unit = {
+      val live = extractDirsBefore(extractDir, curName)
+      Fs.listDirs(extractDir, "batch_")
+        .filter(d => boundOf(d.split('/').last) < curName)
+        .filterNot(live.contains)
+        .filter(d => tierOf(d.split('/').last) == 0 ||
+          Fs.exists(s"$d/_COMPACT_COMMIT")) // keep in-progress folds
+        .foreach(Fs.deleteRecursive)
     }
+    sweep()
+    var folded = true
+    while (folded) {
+      folded = false
+      val live = extractDirsBefore(extractDir, curName)
+      val byTier = live.groupBy(d => tierOf(d.split('/').last))
+      // lowest full tier folds first; legacy cumulative compacts
+      // (Int.MaxValue) are already a covering prefix and never re-fold
+      byTier.toSeq.sortBy(_._1)
+        .find { case (t, ds) => t != Int.MaxValue && ds.size >= every }
+        .foreach { case (t, ds) =>
+          val fold = ds.sortBy(d => boundOf(d.split('/').last)).take(every)
+          val bound = boundOf(fold.last.split('/').last)
+          val target = s"$extractDir/${bound}_c${t + 1}"
+          val df = spark.read.parquet(fold: _*)
+          df.write.mode("overwrite").parquet(target)
+          rewritten += spark.read.parquet(target).count()
+          Fs.writeString(s"$target/_COMPACT_COMMIT", "")
+          fold.foreach(Fs.deleteRecursive)
+          folded = true
+        }
+    }
+    rewritten
   }
 
   /** One incremental link step over the just-written extract batch.

@@ -128,6 +128,21 @@ class StreamingExtractSpec extends SparkSpec {
       compactEvery = 5)
     val ccInputs = scala.collection.mutable.ArrayBuffer.empty[Long]
     val totals = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // cumulative compaction-rewrite audit: every compact dir is written
+    // exactly once (deterministic names), so rows rewritten = sum of
+    // row counts of compact dirs as they appear
+    def isCompact(d: String): Boolean =
+      d.split('/').last.matches(".*_c\\d+$")
+    val seenCompacts = scala.collection.mutable.Set.empty[String]
+    var rewrittenRows = 0L
+    def accountRewrite(): Unit =
+      Fs.listDirs(s"$dir/extract_stream", "batch_")
+        .filter(isCompact)
+        .filterNot(seenCompacts.contains)
+        .foreach { d =>
+          seenCompacts += d
+          rewrittenRows += spark.read.parquet(d).count()
+        }
     try {
       (0 until 20).foreach { i =>
         ms.addData(Seq(doc(i)))
@@ -135,6 +150,7 @@ class StreamingExtractSpec extends SparkSpec {
         val m = latestMetrics(dir)
         ccInputs += m("cc_input_entities")
         totals += m("total_entities")
+        accountRewrite()
       }
     } finally q.stop()
 
@@ -148,16 +164,27 @@ class StreamingExtractSpec extends SparkSpec {
     assert(ccInputs.last.toDouble < totals.last.toDouble / 4,
       s"final batch re-linked ${ccInputs.last} of ${totals.last} entities")
 
-    // compaction bounded the layout: one committed compact dir stands in
+    // compaction bounded the layout: committed tier-1 compacts stand in
     // for the folded batches, plains stay under the compaction window,
     // and the exact row set is preserved (one DocExtract row per doc)
     val dirs = Fs.listDirs(s"$dir/extract_stream", "batch_")
-    val compacts = dirs.filter(_.split('/').last.endsWith("_compact"))
-    val plains = dirs.filterNot(_.split('/').last.endsWith("_compact"))
+    val compacts = dirs.filter(isCompact)
+    val plains = dirs.filterNot(isCompact)
     assert(compacts.nonEmpty, "no compaction after 20 batches at every=5")
     assert(compacts.forall(d => Fs.exists(s"$d/_COMPACT_COMMIT")))
     assert(plains.size <= 6, s"compaction left ${plains.size} plain dirs")
     assert(spark.read.parquet(dirs: _*).count() == 20L)
+
+    // the tiered-rewrite bound, MEASURED: each row is rewritten only
+    // when it climbs a tier — O(N log_every N) rows over the stream's
+    // life. At every=5 over batches 0..19 (the current batch never
+    // compacts) exactly three tier-1 folds of 5 rows happen (after
+    // batches 5, 10, 15): 15 rows. The replaced cumulative-prefix
+    // scheme re-folded the whole history each time: 5 + 10 + 15 = 30
+    // rows here, O(N^2/every) in general — the bound below fails it.
+    assert(rewrittenRows <= 15L,
+      s"compaction rewrote $rewrittenRows rows over 20 batches — " +
+        "cumulative-prefix behavior (O(N^2/every)), not tiered")
 
     // stream == batch after 20 batches, duplicates impossible to hide:
     // compare sorted sequences
@@ -181,6 +208,10 @@ class StreamingExtractSpec extends SparkSpec {
       ms.addData(Seq(doc(20)))
       q2.processAllAvailable()
     } finally q2.stop()
+    // the restart batch folds plains 15-19 into a fourth tier-1 compact
+    accountRewrite()
+    assert(rewrittenRows <= 20L,
+      s"post-restart rewrite total $rewrittenRows exceeds the tiered bound")
     val streamed21 = rows(spark.read.parquet(s"$dir/triples"))
     val (batch21, cl21) = Pipeline.runWithCleanup(spark,
       (0 until 21).map(doc).toDS(), gazette)
@@ -247,5 +278,64 @@ class StreamingExtractSpec extends SparkSpec {
     // "aaapronoun") now folds into the gazette representative
     assert(fullCanon.filter($"entity_key" === "d1 FUNCTION 9 10")
       .select("canonical").head().getString(0) == "zebraFun")
+  }
+
+  test("tiered compaction: cascading folds, crash leftovers, legacy-compact compat") {
+    import spark.implicits._
+    def mkPlain(dir: String, i: Int): Unit =
+      Seq((i.toLong, s"doc$i")).toDF("doc_id", "tag")
+        .write.mode("overwrite").parquet(f"$dir/batch_$i%08d")
+    def names(dir: String): Set[String] =
+      Fs.listDirs(dir, "batch_").map(_.split('/').last).toSet
+
+    // cascade: 8 plains at every=2 climb three tiers — each row is
+    // rewritten once per tier (8 + 8 + 8 = 24), ending in ONE c3 dir
+    val d1 = Files.createTempDirectory("graft-compact-cascade").toString
+    (0 until 8).foreach(mkPlain(d1, _))
+    val rewritten = StreamingExtract.maybeCompactExtract(spark, d1,
+      "batch_00000008", every = 2)
+    assert(rewritten == 24L, s"cascade rewrote $rewritten rows, not 24")
+    assert(names(d1) == Set("batch_00000007_c3"), s"dirs: ${names(d1)}")
+    val view1 = StreamingExtract.extractDirsBefore(d1, "batch_00000008")
+    assert(view1.map(_.split('/').last) == Seq("batch_00000007_c3"))
+    assert(spark.read.parquet(view1: _*).select("doc_id")
+      .as[Long].collect().sorted.toSeq == (0L until 8L))
+
+    // crash between _COMPACT_COMMIT and input cleanup: the committed
+    // compact supersedes its still-on-disk inputs (no double count),
+    // and the next call's sweep deletes them
+    val d2 = Files.createTempDirectory("graft-compact-crash").toString
+    (0 until 3).foreach(mkPlain(d2, _))
+    spark.read.parquet(f"$d2/batch_${0}%08d", f"$d2/batch_${1}%08d")
+      .write.parquet(s"$d2/batch_00000001_c1")
+    Fs.writeString(s"$d2/batch_00000001_c1/_COMPACT_COMMIT", "")
+    val view2 = StreamingExtract.extractDirsBefore(d2, "batch_00000003")
+    assert(view2.map(_.split('/').last) ==
+      Seq("batch_00000001_c1", "batch_00000002"))
+    assert(spark.read.parquet(view2: _*).count() == 3L)
+    StreamingExtract.maybeCompactExtract(spark, d2, "batch_00000003",
+      every = 5)
+    assert(names(d2) == Set("batch_00000001_c1", "batch_00000002"),
+      s"sweep left: ${names(d2)}")
+
+    // legacy cumulative `_compact` dirs cover EVERYTHING up to their
+    // bound (they folded the whole prefix), including crash leftovers,
+    // and never re-fold; new tiers build above them
+    val d3 = Files.createTempDirectory("graft-compact-legacy").toString
+    (0 until 6).foreach(mkPlain(d3, _))
+    spark.read.parquet((0 until 4).map(i => f"$d3/batch_$i%08d"): _*)
+      .write.parquet(s"$d3/batch_00000003_compact")
+    Fs.writeString(s"$d3/batch_00000003_compact/_COMPACT_COMMIT", "")
+    val view3 = StreamingExtract.extractDirsBefore(d3, "batch_00000006")
+    assert(view3.map(_.split('/').last) ==
+      Seq("batch_00000003_compact", "batch_00000004", "batch_00000005"))
+    val rewritten3 = StreamingExtract.maybeCompactExtract(spark, d3,
+      "batch_00000006", every = 2)
+    // plains 4,5 fold into one c1; the legacy prefix is untouched
+    assert(rewritten3 == 2L)
+    assert(names(d3) == Set("batch_00000003_compact", "batch_00000005_c1"),
+      s"dirs: ${names(d3)}")
+    assert(spark.read.parquet(StreamingExtract
+      .extractDirsBefore(d3, "batch_00000006"): _*).count() == 6L)
   }
 }
