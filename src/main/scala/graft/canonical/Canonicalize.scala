@@ -70,84 +70,77 @@ object Canonicalize {
     * Output: DataFrame [entity_key, canonical] where canonical is the
     * component representative's entity_key.
     *
-    * min-propagation over the bipartite graph converges in O(diameter)
-    * rounds; diameter of alias-similarity graphs is tiny (forms chain
-    * through at most a few normalizers). Every round is two shuffles
-    * (groupBy form, groupBy entity), both algebraic-min aggregations.
-    */
+    * THE HUB REDUCTION: the refinement-chain contract at [[normalForms]]
+    * (two aliases sharing ANY form also share the most-folded form —
+    * fold(exact) = fold(lower) = fold(folded) = the entity's folded
+    * form) makes "shares a form with" TRANSITIVE through the folded
+    * form: if a~b and b~c then fold(a) = fold(b) = fold(c). A component
+    * is therefore exactly a (kind, folded-form) group, and iterative
+    * min-propagation collapses to ONE algebraic min aggregation on the
+    * hub plus one dimension join to map entities to their hub's winner —
+    * one shuffle of (hub, init) pairs with map-side combine (hot-alias
+    * skew is absorbed exactly as before: CanonicalizeSkewSpec), instead
+    * of two aggregation shuffles and up to two joins per propagation
+    * round. `verifyConverged = true` proves the reduction on the actual
+    * data: one full min-propagation round over ALL (entity, form) edges
+    * must be a fixpoint — a normalizer that chains beyond its folded
+    * form (edit-distance buckets, token prefixes) breaks the contract
+    * and trips the guard, same as it always did.
+    *
+    * `iterations == 0` keeps the generic un-propagated initial
+    * components (the guard's negative-case seam, used by PipelineSpec to
+    * prove the guard fires). */
   def components(spark: SparkSession, entities: DataFrame,
       iterations: Int = 2, verifyConverged: Boolean = false): DataFrame = {
     import spark.implicits._
-    // (entity, form) edges; kind is part of the form key: never merge
-    // across kinds (reference `stanford_preprocess.py:366-374`).
-    // normalForms as pure Catalyst exprs (codegen-friendly, no UDF) —
-    // the shared [[formsExpr]], so the incremental linker's touch
-    // detection sees exactly these edges. No distinct(): duplicate edges
-    // are harmless under min-aggregation and removing them would cost a
-    // full extra shuffle.
-    val formsCol = formsExpr
-
-    // The component id IS the canonical pick: propagate the minimum of
+    // The component id IS the canonical pick: aggregate the minimum of
     // struct(gaz_rank, entity_key), so gazette-born readable keys win the
     // representative election and no separate ranking join is needed.
     val gazRank =
       if (entities.columns.contains("from_gazette"))
         when(col("from_gazette"), 0).otherwise(1)
       else lit(0)
+    // kind is part of the hub key: never merge across kinds (reference
+    // `stanford_preprocess.py:366-374`). concat_ws skips a null folded
+    // form, exactly as the old edge derivation's concat_ws did for a
+    // null alias's single null form.
+    val hub = concat_ws(" ", $"kind",
+      regexp_replace(lower($"alias"), "[-_\\s]+", ""))
 
-    // edges carry their vertex's INITIAL component inline, so round 1's
-    // form-side aggregation needs no join at all (one join + one
-    // broadcast fewer in the chain — the chain's cost is stage overhead,
-    // not data, so every removed stage is a direct win)
-    val edges = graft.pipeline.Caches.tracked(entities
-      .select($"entity_key", $"kind",
-        struct(gazRank.as("r"), $"entity_key".as("k")).as("init"),
-        explode(formsCol).as("f"))
-      .select($"entity_key", $"init",
-        concat_ws(" ", $"kind", $"f").as("form")))
-      // narrow (no shuffle); reused 2x per iteration; tracked so the
-      // pipeline run handle / bench harness releases it post-materialize
+    val comp: DataFrame =
+      if (iterations >= 1) {
+        val keyed = entities.select($"entity_key", hub.as("hub"),
+          struct(gazRank.as("r"), $"entity_key".as("k")).as("init"))
+        // byHub is component-count-sized — far below the entity table.
+        // dimSide: AQE broadcasts it when measured small (default); the
+        // bench children run AQE-off and force the hint
+        // (graft.dim.broadcast).
+        val byHub = keyed.groupBy($"hub").agg(min($"init").as("component"))
+        keyed.join(graft.textops.TextOps.dimSide(byHub), "hub")
+          .select($"entity_key", $"component")
+      } else {
+        entities.select($"entity_key",
+          struct(gazRank.as("r"), $"entity_key".as("k")).as("component"))
+      }
 
-    // FIXED iteration count, fully lazy: no per-iteration action, so the
-    // whole CC is one job when the caller finally acts. Convergence needs
-    // rounds >= component diameter in entity-hops; alias-similarity
-    // components are stars around the shared surface form (diameter <= 2),
-    // so 2 rounds converge. A per-round driver-side convergence check
-    // would serialize the pipeline on many small jobs — measured 2x the
-    // whole pipeline's wall time at SF=0.1 — and is only worth it for
-    // adversarial graphs (then: doubling checks every K rounds +
-    // localCheckpoint to cut lineage).
-    var comp = entities.select($"entity_key",
-      struct(gazRank.as("r"), $"entity_key".as("k")).as("component"))
-    var it = 0
-    // byForm / comp are component maps keyed by form / entity key —
-    // distinct-entity-sized, far below the mention stream. dimSide:
-    // AQE broadcasts them when measured small (default); the bench
-    // children run AQE-off and force the hint (graft.dim.broadcast).
-    def round(c: DataFrame, first: Boolean): DataFrame = {
-      val byForm =
-        if (first) edges.groupBy($"form").agg(min($"init").as("fcomp"))
-        else edges.join(graft.textops.TextOps.dimSide(c), "entity_key")
-          .groupBy($"form").agg(min($"component").as("fcomp"))
-      edges.join(graft.textops.TextOps.dimSide(byForm), "form")
-        .groupBy($"entity_key").agg(min($"fcomp").as("component"))
-    }
-    while (it < iterations) {
-      comp = round(comp, it == 0)
-      it += 1
-    }
     if (verifyConverged) {
-      // one extra round must be a fixpoint — the guard for the star-shape
-      // contract at normalForms (costs one action; test/debug only)
+      // one full min-propagation round over ALL (entity, form) edges must
+      // be a fixpoint — the guard for the refinement-chain contract at
+      // normalForms (costs one action; test/debug only)
+      val edges = entities
+        .select($"entity_key", $"kind", explode(formsExpr).as("f"))
+        .select($"entity_key", concat_ws(" ", $"kind", $"f").as("form"))
       val frozen = comp.persist()
-      val changed = round(frozen, first = false)
-        .withColumnRenamed("component", "next")
+      val byForm = edges.join(frozen, "entity_key")
+        .groupBy($"form").agg(min($"component").as("fcomp"))
+      val changed = edges.join(byForm, "form")
+        .groupBy($"entity_key").agg(min($"fcomp").as("next"))
         .join(frozen, "entity_key")
         .where($"next" =!= $"component").count()
       require(changed == 0,
         s"CC not converged after $iterations rounds: $changed components " +
-          "still moving — a normalizer violates the star-shape contract " +
-          "(see normalForms); raise `iterations`")
+          "still moving — a normalizer violates the refinement-chain " +
+          "contract (see normalForms)")
       frozen.unpersist()
     }
     comp.select($"entity_key", $"component.k".as("canonical"))

@@ -137,11 +137,16 @@ object ActiveLearning {
     val nRows = labeled.count()
     val parts = math.max(1L, math.min(nRows / 20000 + 1, 64L)).toInt
     val w = Window.partitionBy(col("label")).orderBy(col("evidence_id"))
+    // eager localCheckpoint, not persist + count: the five fold fits
+    // issue hundreds of actions over this table, and each action
+    // re-analyzes the logical plan — a persist leaves the 13-column
+    // feature expression tree in every downstream plan (cache
+    // substitution happens at physical planning), while the checkpoint
+    // truncates it to a leaf. Labeled-set-sized by contract.
     val folded = graft.features.Features.withDefaultFeatures(labeled)
       .withColumn("fold", (row_number().over(w) - 1) % 5)
       .coalesce(parts)
-      .persist()
-    folded.count()
+      .localCheckpoint()
     // folds evaluated concurrently — Spark happily runs independent
     // actions from multiple threads, and each fold's fit is tiny
     import scala.concurrent.{Await, Future}
@@ -157,7 +162,8 @@ object ActiveLearning {
             .collect().map(r => (r.getDouble(0), r.getInt(1))).toSeq
         }
       }), Duration.Inf).flatten
-    folded.unpersist()
+    // folded's checkpointed blocks are reclaimed by the ContextCleaner
+    // once unreferenced (annotation-scale table)
     prCurveThreshold(pooled, tradeoff)
   }
 

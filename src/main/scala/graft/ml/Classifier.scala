@@ -180,6 +180,16 @@ object RelationClassifier {
     val trainParts = math.max(1L, math.min(nRows / 20000 + 1, 64L)).toInt
     var df = featurized(labeled.coalesce(trainParts))
       .withColumn("y", col("label").cast("double"))
+    // TRUNCATE the logical plan (eager localCheckpoint), don't just
+    // cache it: a fit issues ~60 actions (4 CountVectorizer fits, one
+    // L-BFGS job per SVC iteration, scaler, final stage), and EVERY
+    // action re-analyzes/re-optimizes the logical plan — persist()
+    // substitutes the cache only at physical planning, so the 13-column
+    // feature expression tree still dominated each action's driver-side
+    // cost. The checkpointed table is labeled-set-sized by contract;
+    // lost-executor recompute safety is irrelevant at that size (the
+    // fit simply fails and is retried by its caller).
+    df = df.localCheckpoint()
     // vocab cap: a memory guard, not a semantic knob — annotation-bounded
     // label sets sit far below it; a corpus-sized vocabulary would blow
     // the driver-held CountVectorizerModel otherwise
@@ -208,6 +218,10 @@ object RelationClassifier {
     df = new VectorAssembler()
       .setInputCols((denseCols :+ "inner_margin").toArray)
       .setOutputCol("dense_features").transform(df)
+    // second truncation point: the scaler fit and the final-stage fit
+    // both action over this subtree, whose plan now carries the four
+    // vectorizer transforms + the inner-SVC scoring
+    df = df.localCheckpoint()
     val scaler = new StandardScaler().setInputCol("dense_features")
       .setOutputCol("scaled_features").setWithMean(true).setWithStd(true)
       .fit(df)
@@ -250,6 +264,8 @@ object RelationClassifier {
           .setMaxIter(100).setRegParam(0.01).setTol(1e-3).fit(df),
           fromProbability = false)
     }
+    // the checkpointed RDD blocks are unreferenced once fit returns —
+    // the ContextCleaner reclaims them (annotation-scale tables)
     Model(vectorizers, innerSvc, scaler, classifier, finalStage)
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
   *
   * Some operators persist a derived table that their (lazy) result keeps
   * referencing — e.g. the LSH band table self-joined for candidate
-  * pairs, or the CC edge list reused across iterations. The operator
+  * pairs, or the hashed token-set dimension joined twice. The operator
   * cannot unpersist it before returning (the caller has not acted yet),
   * and the caller cannot either (the table is internal). Left alone,
   * each call leaks one cached table per long-lived session.

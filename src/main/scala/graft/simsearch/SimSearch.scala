@@ -107,6 +107,30 @@ object SimSearch {
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "bucket")
 
+  /** [[bandBuckets]] plus the full per-id bucket array (`bkts`) carried
+    * on every exploded row — the payload the first-matching-band dedup
+    * in [[lshNearDupPairs]] / [[lshTopK]] needs to decide, per candidate
+    * row, whether an EARLIER band already matched (without a post-join
+    * distinct exchange). */
+  private def bucketsWithArray(corpus: DataFrame, bands: Int,
+      planesPerBand: Int): DataFrame =
+    corpus.select(col("id"),
+      graft.functions.HyperplaneBuckets.buckets(
+        col("embedding"), bands, planesPerBand).as("bkts"))
+      .select(col("id"), col("bkts"), posexplode(col("bkts")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "bucket")
+
+  /** Predicate over a joined candidate row carrying `ba`/`bb` bucket
+    * arrays and the matched `band_idx`: true iff no band BEFORE
+    * band_idx also matched — i.e. this row is the pair's first matching
+    * band. Codegen'd allocation-free compare loop (the composed
+    * slice/zip_with/filter form is CodegenFallback and measured 3x the
+    * whole query when evaluated per candidate-probe match). */
+  private def firstMatchingBand: Column =
+    graft.functions.FirstEqualIndex.index(col("ba"), col("bb")) ===
+      col("band_idx")
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     * cosine >= threshold. Exact (cross-join) form — the correctness
     * baseline the LSH-bucketed variant is measured against; at corpus
@@ -129,18 +153,29 @@ object SimSearch {
     * O(n * bands), never O(n^2). */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
       bands: Int = 16, planesPerBand: Int = 8): DataFrame = {
-    val bkt = bandBuckets(corpus, bands, planesPerBand)
-    val a = bkt.select(col("id").as("a"), col("band_idx"), col("bucket"))
-    val b = bkt.select(col("id").as("b"), col("band_idx"), col("bucket"))
-    // candidates as bare id pairs: the cross-band dedup shuffles 16-byte
-    // rows, never embedding payloads; embeddings re-attach from the
-    // dimension side. No explicit broadcast hint (an explicit hint is
-    // mandatory for Spark — AQE will not degrade it — so a corpus-sized
-    // embedding table would OOM): AQE broadcasts while the side fits and
-    // falls back to a shuffle join on id at scale. See TextOps.dimSide.
+    val bkt = bucketsWithArray(corpus, bands, planesPerBand)
+    val a = bkt.select(col("id").as("a"), col("bkts").as("ba"),
+      col("band_idx"), col("bucket"))
+    val b = bkt.select(col("id").as("b"), col("bkts").as("bb"),
+      col("band_idx"), col("bucket"))
+    // FIRST-MATCHING-BAND dedup (the same construction as
+    // TextOps.lshCandidatePairs, via the carried bucket array instead of
+    // 16 per-band joins): a pair is emitted only from the first band the
+    // two ids agree on, so each candidate comes out of exactly one band
+    // — the same set the banded-union DISTINCT yielded, without the
+    // post-join dedup exchange of the near-quadratic candidate stream.
+    // The join sides carry `bands` extra longs per exploded row
+    // (O(n * bands^2) bytes total) while the removed exchange was
+    // O(candidate pairs) — the right trade as soon as buckets produce
+    // more than ~1 candidate per row, and candidates stay bare id pairs:
+    // embeddings re-attach from the dimension side. No explicit
+    // broadcast hint (an explicit hint is mandatory for Spark — AQE will
+    // not degrade it — so a corpus-sized embedding table would OOM): AQE
+    // broadcasts while the side fits and falls back to a shuffle join on
+    // id at scale. See TextOps.dimSide.
     val cand = a.join(b, Seq("band_idx", "bucket"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .where(col("a") < col("b") && firstMatchingBand)
+      .select(col("a"), col("b"))
     val e = corpus.select(col("id"), col("embedding"))
     cand
       .join(graft.textops.TextOps.dimSide(e.select(col("id").as("a"),
@@ -237,13 +272,18 @@ object SimSearch {
     * buckets, deduped across bands, re-ranked by exact cosine. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       bands: Int = 16, planesPerBand: Int = 8): DataFrame = {
-    val q = bandBuckets(queries, bands, planesPerBand)
-      .select(col("id").as("query_id"), col("band_idx"), col("bucket"))
-    val c = bandBuckets(corpus, bands, planesPerBand)
-      .select(col("id").as("neighbor_id"), col("band_idx"), col("bucket"))
+    val q = bucketsWithArray(queries, bands, planesPerBand)
+      .select(col("id").as("query_id"), col("bkts").as("ba"),
+        col("band_idx"), col("bucket"))
+    val c = bucketsWithArray(corpus, bands, planesPerBand)
+      .select(col("id").as("neighbor_id"), col("bkts").as("bb"),
+        col("band_idx"), col("bucket"))
+    // first-matching-band dedup instead of a candidate DISTINCT — see
+    // [[lshNearDupPairs]]; each (query, neighbor) flows out of exactly
+    // one band, so the near-quadratic candidate stream is never shuffled
     val cand = q.join(c, Seq("band_idx", "bucket"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id")).distinct()
+      .where(col("query_id") =!= col("neighbor_id") && firstMatchingBand)
+      .select(col("query_id"), col("neighbor_id"))
     val scored = cand
       .join(graft.textops.TextOps.dimSide(queries.select(
         col("id").as("query_id"), col("embedding").as("qe"))), "query_id")

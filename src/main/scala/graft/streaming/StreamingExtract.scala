@@ -394,8 +394,8 @@ object StreamingExtract {
     // batch is untouched — only strictly-earlier dirs compact)
     maybeCompactExtract(spark, extractDir, curName, compactEvery)
     persisted.foreach(_.unpersist())
-    // components() tracks its edge cache in the shared registry — the
-    // same release the batch run handle performs post-materialize
+    // release any operator-internal tracked caches — the same release
+    // the batch run handle performs post-materialize
     graft.pipeline.Caches.release()
   }
 }

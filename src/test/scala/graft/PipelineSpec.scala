@@ -65,6 +65,53 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("hub-reduction components == generic min-propagation (randomized)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the hub fast path (one groupBy on kind+folded form) must equal a
+    // generic 2-round min-propagation over ALL (entity, form) edges —
+    // the reduction's proof obligation, exercised on aliases that mix
+    // every normalizer: case, underscores, dashes, spaces, gazette flags
+    val rnd = new scala.util.Random(7)
+    val styles = Seq[String => String](
+      identity,
+      _.toUpperCase,
+      s => s.replace("_", "-"),
+      s => s.replace("_", " "),
+      s => s.split("_").map(_.capitalize).mkString) // CamelCase
+    val entities = (0 until 400).map { i =>
+      val base = s"alias_${i % 60}"
+      val alias = styles(rnd.nextInt(styles.length))(base)
+      (s"e$i", if (i % 3 == 0) "FUNCTION" else "MODULE", alias,
+        rnd.nextBoolean())
+    }.toDF("entity_key", "kind", "alias", "from_gazette")
+    val hub = Canonicalize.components(spark, entities)
+      .as[(String, String)].collect().toMap
+    // generic propagation reference: 2 rounds of entity->form->entity
+    // min over all three normal forms (the pre-hub implementation)
+    val edges = entities.select($"entity_key", $"kind",
+      struct(when($"from_gazette", 0).otherwise(1).as("r"),
+        $"entity_key".as("k")).as("init"),
+      explode(array_distinct(array($"alias", lower($"alias"),
+        regexp_replace(lower($"alias"), "[-_\\s]+", "")))).as("f"))
+      .select($"entity_key", $"init",
+        concat_ws(" ", $"kind", $"f").as("form"))
+    var comp = entities.select($"entity_key",
+      struct(when($"from_gazette", 0).otherwise(1).as("r"),
+        $"entity_key".as("k")).as("component"))
+    (0 until 2).foreach { it =>
+      val byForm =
+        if (it == 0) edges.groupBy($"form").agg(min($"init").as("fcomp"))
+        else edges.join(comp, "entity_key")
+          .groupBy($"form").agg(min($"component").as("fcomp"))
+      comp = edges.join(byForm, "form")
+        .groupBy($"entity_key").agg(min($"fcomp").as("component"))
+    }
+    val ref = comp.select($"entity_key", $"component.k")
+      .as[(String, String)].collect().toMap
+    assert(hub == ref)
+  }
+
   test("end-to-end P/R >= 0.95 on the synthetic corpus (gate)") {
     val sf = 0.0005 // ~100 docs; fast but non-trivial
     val raw = CorpusGen.rawDocs(spark, sf)

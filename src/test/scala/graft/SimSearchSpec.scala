@@ -94,4 +94,42 @@ class SimSearchSpec extends SparkSpec {
     assert(hits.toDouble / exactTop.size >= 0.9,
       s"top-1 agreement ${hits.toDouble / exactTop.size}")
   }
+
+  test("FirstEqualIndex == composed first-equal-position form") {
+    // the codegen'd predicate behind the first-matching-band dedup must
+    // agree with the composed higher-order-function reference on every
+    // case class: no match (-1), first-position match, later match
+    val rows = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),   // no match -> -1
+      (Array(1L, 2L, 3L), Array(1L, 9L, 9L)),   // match at 0
+      (Array(1L, 2L, 3L), Array(9L, 9L, 3L)),   // match at 2
+      (Array(7L, 8L, 9L), Array(9L, 8L, 7L)),   // match at 1
+      (Array.empty[Long], Array.empty[Long]))   // empty -> -1
+      .toDF("a", "b")
+    val got = rows.select(
+      graft.functions.FirstEqualIndex.index($"a", $"b").as("i"),
+      (coalesce(array_position(
+        zip_with($"a", $"b", (x, y) => x === y), lit(true)),
+        lit(0L)).cast("int") - 1).as("ref"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (i, ref) => assert(i == ref, s"got $i want $ref") }
+  }
+
+  test("first-matching-band candidate dedup == banded-union DISTINCT") {
+    // lshNearDupPairs' candidate generation (one pair per first shared
+    // band, no distinct exchange) must produce exactly the same pair set
+    // as the explode + join + DISTINCT construction it replaced
+    val corpus = clustered
+    val bkt = SimSearch.bandBuckets(corpus, 16, 8)
+    val a = bkt.select($"id".as("a"), $"band_idx", $"bucket")
+    val b = bkt.select($"id".as("b"), $"band_idx", $"bucket")
+    val reference = a.join(b, Seq("band_idx", "bucket"))
+      .where($"a" < $"b").select($"a", $"b").distinct()
+      .as[(Long, Long)].collect().toSet
+    // the production path: pairs surviving any cosine cut of -1 are ALL
+    // candidate pairs the banding produced
+    val viaOperator = SimSearch.lshNearDupPairs(corpus, threshold = -1.0)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(viaOperator == reference)
+  }
 }
