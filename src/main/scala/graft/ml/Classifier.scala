@@ -192,10 +192,22 @@ object RelationClassifier {
     df = df.localCheckpoint()
     // vocab cap: a memory guard, not a semantic knob — annotation-bounded
     // label sets sit far below it; a corpus-sized vocabulary would blow
-    // the driver-held CountVectorizerModel otherwise
-    val vectorizers = bagCols.map { c =>
-      new CountVectorizer().setInputCol(c).setOutputCol(c + "_vec")
-        .setBinary(true).setVocabSize(1 << 16).fit(df)
+    // the driver-held CountVectorizerModel otherwise.
+    // The four vocabulary fits are independent single-job actions over
+    // the checkpointed table — run them concurrently (guide §2.6:
+    // overlap independent jobs); each fit's vocabulary and ordering is
+    // computed exactly as before.
+    val vectorizers = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val dfRef = df
+      Await.result(Future.sequence(bagCols.map { c =>
+        Future {
+          new CountVectorizer().setInputCol(c).setOutputCol(c + "_vec")
+            .setBinary(true).setVocabSize(1 << 16).fit(dfRef)
+        }
+      }), Duration.Inf)
     }
     vectorizers.foreach(v => df = v.transform(df))
     df = new VectorAssembler()
